@@ -1,0 +1,30 @@
+"""TPU-native multi-agent collision-avoidance engine.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+``mit-acl/gym-collision-avoidance`` (reference mounted at /root/reference).
+
+Design stance (vs the reference's object-graph-per-agent architecture,
+``envs/agent.py``, ``envs/collision_avoidance_env.py``):
+
+* All env state lives in one struct-of-arrays pytree :class:`EnvState`
+  with ``[num_agents, ...]`` leaves (batch over envs via ``jax.vmap`` /
+  sharded meshes, see :mod:`gym_collision_avoidance_tpu.parallel`).
+* One pure, jit-compiled function steps every agent of every env in
+  lockstep; per-agent heterogeneity (policy / dynamics) is expressed as
+  integer type-id arrays + masked compute, not Python dispatch.
+* Policies are pure functions ``(obs, state, params) -> action`` over the
+  whole agent batch; frozen network weights are JAX pytrees.
+"""
+
+from gym_collision_avoidance_tpu.config import EnvConfig
+from gym_collision_avoidance_tpu.core.state import EnvState
+from gym_collision_avoidance_tpu.env.step import env_step, env_reset
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EnvConfig",
+    "EnvState",
+    "env_step",
+    "env_reset",
+]

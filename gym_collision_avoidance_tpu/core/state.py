@@ -1,0 +1,189 @@
+"""The env state pytree: struct-of-arrays over agents.
+
+Replaces the reference's mutable per-agent objects
+(``/root/reference/gym_collision_avoidance/envs/agent.py:59-139``) with a
+single pytree whose leaves have a leading ``[num_agents]`` axis.  Batch over
+environments by ``jax.vmap``-ing the step over a leading ``[num_envs]`` axis
+(see :mod:`gym_collision_avoidance_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gym_collision_avoidance_tpu.config import EnvConfig
+from gym_collision_avoidance_tpu.core import maths
+
+# Number of past actions / velocities remembered per agent
+# (reference: envs/agent.py:38 `num_actions_to_store = 2`).
+NUM_PAST_ACTIONS = 2
+
+
+@struct.dataclass
+class EnvState:
+    """All mutable simulation state for one environment.
+
+    Leaves have leading axis ``A = num_agents``.  Field-by-field provenance
+    is the reference's ``Agent.reset`` (envs/agent.py:59-139).
+    """
+
+    # -- kinematic state --
+    pos: jax.Array            # [A, 2] pos_global_frame
+    vel: jax.Array            # [A, 2] vel_global_frame
+    speed: jax.Array          # [A]    speed_global_frame
+    heading: jax.Array        # [A]    heading_global_frame
+    delta_heading: jax.Array  # [A]    delta_heading_global_frame
+
+    # -- task --
+    goal: jax.Array           # [A, 2] goal_global_frame
+    radius: jax.Array         # [A]
+    pref_speed: jax.Array     # [A]
+
+    # -- ego (goal-aligned) frame, updated after each dynamics step
+    #    (envs/dynamics/Dynamics.py:24-41) --
+    ref_prll: jax.Array       # [A, 2]
+    ref_orth: jax.Array       # [A, 2]
+    dist_to_goal: jax.Array   # [A]
+    heading_ego_frame: jax.Array  # [A]
+    vel_ego_frame: jax.Array  # [A, 2]
+
+    # -- ring buffers (envs/agent.py:91-92, 121-122) --
+    past_actions: jax.Array   # [A, NUM_PAST_ACTIONS, 2]
+    past_vel: jax.Array       # [A, NUM_PAST_ACTIONS, 2] past_global_velocities
+
+    # -- CADRL turning-direction hysteresis (envs/agent.py:133,
+    #    envs/dynamics/UnicycleDynamics.py:41-47) --
+    turning_dir: jax.Array    # [A]
+
+    # -- timers (envs/agent.py:100-108) --
+    time_remaining: jax.Array  # [A] time_remaining_to_reach_goal
+    t: jax.Array               # [A] elapsed sim time
+    step_num: jax.Array        # [A] int32
+
+    # -- done latching (envs/agent.py:110-114, 138) --
+    is_at_goal: jax.Array              # [A] bool
+    was_at_goal_already: jax.Array     # [A] bool
+    in_collision: jax.Array            # [A] bool
+    was_in_collision_already: jax.Array  # [A] bool
+    ran_out_of_time: jax.Array         # [A] bool
+    is_done: jax.Array                 # [A] bool
+
+    # -- sensor caches (envs/agent.py:124, 46) --
+    other_agent_states: jax.Array       # [A, 7] closest-other 7-tuple
+    num_other_agents_observed: jax.Array  # [A] int32
+
+    # -- per-agent component wiring (integer type ids; replaces the
+    #    reference's per-Agent policy/dynamics/sensor objects,
+    #    envs/agent.py:31-33) --
+    policy_id: jax.Array      # [A] int32, see policies.registry
+    dynamics_id: jax.Array    # [A] int32, see core.dynamics
+
+    # -- padding support: False rows are absent agents --
+    valid: jax.Array          # [A] bool
+
+    # -- per-env bookkeeping (scalars) --
+    episode_step: jax.Array   # int32
+    rng: jax.Array            # jax PRNG key (uint32[2] or typed key)
+
+    @property
+    def num_agents(self) -> int:
+        return self.pos.shape[-2]
+
+
+def init_state(
+    cfg: EnvConfig,
+    pos: np.ndarray,
+    goal: np.ndarray,
+    radius: np.ndarray,
+    pref_speed: np.ndarray,
+    heading: np.ndarray | None = None,
+    policy_id: np.ndarray | None = None,
+    dynamics_id: np.ndarray | None = None,
+    valid: np.ndarray | None = None,
+    rng: jax.Array | None = None,
+) -> EnvState:
+    """Build a freshly-reset :class:`EnvState` (mirrors ``Agent.reset``,
+    envs/agent.py:59-139, followed by ``update_ego_frame``).
+
+    Any ``heading`` entry that is NaN is replaced by the direction to the
+    goal (envs/agent.py:79-83).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    pos = jnp.asarray(pos, dtype)
+    goal = jnp.asarray(goal, dtype)
+    radius = jnp.asarray(radius, dtype)
+    pref_speed = jnp.asarray(pref_speed, dtype)
+    A = pos.shape[0]
+
+    vec_to_goal = goal - pos
+    auto_heading = jnp.arctan2(vec_to_goal[:, 1], vec_to_goal[:, 0])
+    if heading is None:
+        heading = auto_heading
+    else:
+        heading = jnp.asarray(heading, dtype)
+        heading = jnp.where(jnp.isnan(heading), auto_heading, heading)
+
+    vel = jnp.zeros((A, 2), dtype)
+
+    # Timeout budget (envs/agent.py:100-105).
+    straight_line_time = (maths.norm2(vec_to_goal) - cfg.near_goal_threshold) / pref_speed
+    time_remaining = jnp.maximum(cfg.max_time_ratio * straight_line_time, cfg.dt)
+
+    # Ego frame at reset (envs/agent.py:126 -> Dynamics.update_ego_frame).
+    ref_prll, ref_orth, dist_to_goal = maths.goal_frame_axes(pos, goal)
+    ref_angle = jnp.arctan2(ref_prll[:, 1], ref_prll[:, 0])
+    heading_ego = maths.wrap(heading - ref_angle)
+    cur_speed = maths.norm2(vel)
+    vel_ego = jnp.stack(
+        [cur_speed * jnp.cos(heading_ego), cur_speed * jnp.sin(heading_ego)], axis=-1
+    )
+
+    if policy_id is None:
+        policy_id = jnp.zeros((A,), jnp.int32)
+    if dynamics_id is None:
+        dynamics_id = jnp.zeros((A,), jnp.int32)
+    if valid is None:
+        valid = jnp.ones((A,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    zeros_a = jnp.zeros((A,), dtype)
+    false_a = jnp.zeros((A,), bool)
+
+    return EnvState(
+        pos=pos,
+        vel=vel,
+        speed=zeros_a,
+        heading=heading,
+        delta_heading=zeros_a,
+        goal=goal,
+        radius=radius,
+        pref_speed=pref_speed,
+        ref_prll=ref_prll,
+        ref_orth=ref_orth,
+        dist_to_goal=dist_to_goal,
+        heading_ego_frame=heading_ego,
+        vel_ego_frame=vel_ego,
+        past_actions=jnp.zeros((A, NUM_PAST_ACTIONS, 2), dtype),
+        past_vel=jnp.zeros((A, NUM_PAST_ACTIONS, 2), dtype),
+        turning_dir=zeros_a,
+        time_remaining=time_remaining,
+        t=zeros_a,
+        step_num=jnp.zeros((A,), jnp.int32),
+        is_at_goal=false_a,
+        was_at_goal_already=false_a,
+        in_collision=false_a,
+        was_in_collision_already=false_a,
+        ran_out_of_time=false_a,
+        is_done=~jnp.asarray(valid, bool),
+        other_agent_states=jnp.zeros((A, 7), dtype),
+        num_other_agents_observed=jnp.zeros((A,), jnp.int32),
+        policy_id=jnp.asarray(policy_id, jnp.int32),
+        dynamics_id=jnp.asarray(dynamics_id, jnp.int32),
+        valid=jnp.asarray(valid, bool),
+        episode_step=jnp.asarray(0, jnp.int32),
+        rng=rng,
+    )

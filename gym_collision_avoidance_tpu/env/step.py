@@ -1,0 +1,303 @@
+"""The jit-compiled environment step.
+
+This is the TPU-native replacement for
+``CollisionAvoidanceEnv.step`` / ``reset``
+(``/root/reference/gym_collision_avoidance/envs/collision_avoidance_env.py:156-234,
+236-282``) plus ``Agent.take_action`` (``envs/agent.py:192-241``): a single
+pure function over the :class:`EnvState` pytree in which every agent of the
+env advances in lockstep.  Batch over environments with ``jax.vmap``; see
+:mod:`gym_collision_avoidance_tpu.parallel` for multi-chip sharding.
+
+Ordering semantics replicated from the reference (see call stack in
+SURVEY.md §3.1):
+
+1. action selection (internal policies query state, external actions are
+   mapped),
+2. simultaneous dynamics update with done-freezing + ``was_*`` latching,
+3. rewards from the *new* positions with collision latching,
+4. sensing / observation assembly,
+5. done flags + game-over reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_collision_avoidance_tpu import config as cfg_mod
+from gym_collision_avoidance_tpu.config import EnvConfig
+from gym_collision_avoidance_tpu.core import dynamics as dyn
+from gym_collision_avoidance_tpu.core import maths
+from gym_collision_avoidance_tpu.core.state import EnvState
+from gym_collision_avoidance_tpu.obs import sensors as sensors_mod
+from gym_collision_avoidance_tpu.obs import spec as obs_spec
+from gym_collision_avoidance_tpu.policies import registry as policies
+
+
+def _take_actions(state: EnvState, actions: jax.Array, cfg: EnvConfig) -> EnvState:
+    """Batched equivalent of calling ``Agent.take_action`` on every agent
+    (envs/agent.py:192-241)."""
+    dtype = state.pos.dtype
+    dt = jnp.asarray(cfg.dt, dtype)
+
+    # Done freeze & was_* latching (envs/agent.py:202-209): agents that were
+    # already at-goal / out-of-time / in-collision stop moving and latch.
+    frozen = state.is_at_goal | state.ran_out_of_time | state.in_collision
+    active = ~frozen & state.valid
+    was_at_goal_already = state.was_at_goal_already | (frozen & state.is_at_goal)
+    was_in_collision_already = state.was_in_collision_already | (
+        frozen & state.in_collision
+    )
+
+    # Past-action ring buffer: rolled only for active agents
+    # (envs/agent.py:212-213).
+    rolled_actions = jnp.concatenate(
+        [actions[:, None, :], state.past_actions[:, :-1, :]], axis=1
+    )
+    past_actions = jnp.where(active[:, None, None], rolled_actions, state.past_actions)
+
+    # Dynamics (envs/agent.py:223 -> dynamics_model.step).
+    new_pos, new_vel, new_speed, new_heading, new_dh, new_turning = dyn.step_all(
+        state.pos,
+        state.vel,
+        state.speed,
+        state.heading,
+        state.delta_heading,
+        state.turning_dir,
+        state.dynamics_id,
+        actions,
+        dt,
+    )
+    pos = jnp.where(active[:, None], new_pos, state.pos)
+    # Frozen agents get their velocity zeroed (envs/agent.py:207).
+    vel = jnp.where(active[:, None], new_vel, jnp.zeros_like(state.vel))
+    vel = jnp.where(state.valid[:, None], vel, state.vel)
+    speed = jnp.where(active, new_speed, state.speed)
+    heading = jnp.where(active, new_heading, state.heading)
+    delta_heading = jnp.where(active, new_dh, state.delta_heading)
+    turning_dir = jnp.where(active, new_turning, state.turning_dir)
+
+    # Ego-frame refresh (envs/agent.py:225 -> Dynamics.update_ego_frame);
+    # frozen agents keep stale ego-frame values.
+    ref_prll, ref_orth, dist_to_goal, heading_ego, vel_ego = dyn.update_ego_frame(
+        pos, state.goal, heading, vel
+    )
+    ref_prll = jnp.where(active[:, None], ref_prll, state.ref_prll)
+    ref_orth = jnp.where(active[:, None], ref_orth, state.ref_orth)
+    dist_to_goal = jnp.where(active, dist_to_goal, state.dist_to_goal)
+    heading_ego = jnp.where(active, heading_ego, state.heading_ego_frame)
+    vel_ego = jnp.where(active[:, None], vel_ego, state.vel_ego_frame)
+
+    # Goal check on the new position (envs/agent.py:150-153, squared form).
+    d2 = jnp.sum((pos - state.goal) ** 2, axis=-1)
+    is_at_goal = jnp.where(
+        active, d2 <= cfg.near_goal_threshold**2, state.is_at_goal
+    )
+
+    # Past-velocity ring buffer: rolled for everyone — frozen agents store
+    # their zeroed velocity (envs/agent.py:208, 232).
+    past_vel = jnp.concatenate([vel[:, None, :], state.past_vel[:, :-1, :]], axis=1)
+    past_vel = jnp.where(state.valid[:, None, None], past_vel, state.past_vel)
+
+    # Timers (envs/agent.py:235-239): only active agents burn time.
+    time_remaining = jnp.where(active, state.time_remaining - dt, state.time_remaining)
+    ran_out_of_time = jnp.where(active, time_remaining <= 0.0, state.ran_out_of_time)
+    t = jnp.where(active, state.t + dt, state.t)
+    step_num = jnp.where(active, state.step_num + 1, state.step_num)
+
+    return state.replace(
+        pos=pos,
+        vel=vel,
+        speed=speed,
+        heading=heading,
+        delta_heading=delta_heading,
+        turning_dir=turning_dir,
+        ref_prll=ref_prll,
+        ref_orth=ref_orth,
+        dist_to_goal=dist_to_goal,
+        heading_ego_frame=heading_ego,
+        vel_ego_frame=vel_ego,
+        past_actions=past_actions,
+        past_vel=past_vel,
+        is_at_goal=is_at_goal,
+        was_at_goal_already=was_at_goal_already,
+        was_in_collision_already=was_in_collision_already,
+        time_remaining=time_remaining,
+        ran_out_of_time=ran_out_of_time,
+        t=t,
+        step_num=step_num,
+    )
+
+
+def _pairwise_collisions(state: EnvState, cfg: EnvConfig):
+    """Masked O(A^2) pairwise collision / nearest-distance check.
+
+    Replaces the ``itertools.combinations`` Python loop
+    (envs/collision_avoidance_env.py:458-512).
+
+    Returns:
+        (collision_with_agent [A] bool, dist_btwn_nearest_agent [A]).
+    """
+    A = state.pos.shape[0]
+    rel = state.pos[None, :, :] - state.pos[:, None, :]
+    dist = maths.norm2(rel)                                  # [A, A]
+    combined_radius = state.radius[:, None] + state.radius[None, :]
+    pair_valid = (
+        state.valid[:, None] & state.valid[None, :] & ~jnp.eye(A, dtype=bool)
+    )
+    gap = jnp.where(pair_valid, dist - combined_radius, jnp.inf)
+    dist_btwn_nearest = jnp.min(gap, axis=1)
+    collision = jnp.any(pair_valid & (dist <= combined_radius), axis=1)
+    return collision, dist_btwn_nearest
+
+
+def _compute_rewards(state: EnvState, cfg: EnvConfig):
+    """Reward shaping + collision latching
+    (envs/collision_avoidance_env.py:394-456)."""
+    dtype = state.pos.dtype
+    collision_with_agent, dist_nearest = _pairwise_collisions(state, cfg)
+    # Static-map wall collisions are wired in by the map module (round 2);
+    # without a map there are no walls (cfg.use_static_map False).
+    collision_with_wall = jnp.zeros_like(collision_with_agent)
+
+    r = jnp.full((state.pos.shape[0],), cfg.reward_time_step, dtype)
+
+    goal_now = state.is_at_goal & ~state.was_at_goal_already
+    r = jnp.where(goal_now, cfg.reward_at_goal, r)
+
+    eligible = ~state.is_at_goal & ~state.was_in_collision_already
+    hit_agent = eligible & collision_with_agent
+    hit_wall = eligible & ~collision_with_agent & collision_with_wall
+    r = jnp.where(hit_agent, cfg.reward_collision_with_agent, r)
+    r = jnp.where(hit_wall, cfg.reward_collision_with_wall, r)
+
+    no_hit = eligible & ~collision_with_agent & ~collision_with_wall
+    close = no_hit & (dist_nearest <= cfg.getting_close_range)
+    # The -0.1 - d/2 shaping is hard-coded in the reference (":438-440");
+    # cfg.reward_getting_close carries the -0.1.
+    r = jnp.where(close, cfg.reward_getting_close - dist_nearest / 2.0, r)
+    wiggly = no_hit & (jnp.abs(state.past_actions[:, 0, 1]) > cfg.wiggly_behavior_threshold)
+    r = jnp.where(wiggly, r + cfg.reward_wiggly_behavior, r)
+
+    # Clip to the min/max possible single-step reward (":451-453, 589-599").
+    possible = [
+        cfg.reward_at_goal,
+        cfg.reward_collision_with_agent,
+        cfg.reward_time_step,
+        cfg.reward_collision_with_wall,
+        cfg.reward_wiggly_behavior,
+    ]
+    r = jnp.clip(r, min(possible), max(possible))
+    r = jnp.where(state.valid, r, 0.0)
+
+    in_collision = state.in_collision | hit_agent | hit_wall
+    return state.replace(in_collision=in_collision), r
+
+
+def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
+                       states_in_obs: Sequence[str]):
+    """Sensor pass + obs assembly (envs/collision_avoidance_env.py:555-575)."""
+    sensed = {}
+    if "other_agents_states" in sensors:
+        rows, closest, counts = sensors_mod.other_agents_states(state, cfg)
+        sensed["other_agents_states"] = rows
+        state = state.replace(other_agent_states=closest, num_other_agents_observed=counts)
+    obs = obs_spec.build_observation(state, cfg, sensed, states_in_obs)
+    return state, obs
+
+
+def _check_dones(state: EnvState, cfg: EnvConfig):
+    """Done flags + episode game-over
+    (envs/collision_avoidance_env.py:514-553)."""
+    which_done = state.is_at_goal | state.ran_out_of_time | state.in_collision
+    is_done = which_done | ~state.valid
+
+    if cfg.done_mode == cfg_mod.DONE_MODE_EVALUATE:
+        game_over = jnp.all(which_done | ~state.valid)
+    elif cfg.done_mode == cfg_mod.DONE_MODE_SINGLE_AGENT:
+        game_over = which_done[0]
+    elif cfg.done_mode == cfg_mod.DONE_MODE_LEARNING:
+        learning = policies._isin(state.policy_id, policies.STILL_LEARNING_POLICIES)
+        game_over = jnp.all(which_done | ~state.valid | ~learning)
+    else:
+        raise ValueError(f"unknown done mode {cfg.done_mode}")
+
+    return state.replace(is_done=is_done), which_done, game_over
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "active_policies", "sensors", "states_in_obs"),
+)
+def env_step(
+    state: EnvState,
+    ext_actions: Optional[jax.Array],
+    cfg: EnvConfig,
+    params=None,
+    active_policies: Tuple[int, ...] = (policies.NONCOOP,),
+    sensors: Tuple[str, ...] = ("other_agents_states",),
+    states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
+):
+    """Advance one env by one timestep.
+
+    Args:
+        state: [A]-leaved :class:`EnvState`.
+        ext_actions: [A, 2] external actions (ignored entries for agents
+            with internal policies), or None if no external policies.
+        cfg: static :class:`EnvConfig`.
+        params: pytree of policy parameters (NN weights), or None.
+        active_policies: static tuple of policy ids present in the scenario.
+        sensors: static tuple of active sensor names.
+        states_in_obs: static tuple of obs keys.
+
+    Returns:
+        (new_state, obs dict, rewards [A], game_over scalar bool, info dict)
+    """
+    # StaticPolicy pins its goal to the current position every step it is
+    # queried (envs/policies/StaticPolicy.py:21); done agents aren't queried.
+    if policies.STATIC in active_policies:
+        pin = (state.policy_id == policies.STATIC) & ~state.is_done
+        state = state.replace(goal=jnp.where(pin[:, None], state.pos, state.goal))
+
+    actions = policies.compute_actions(state, ext_actions, cfg, params, active_policies)
+    if cfg.cast_actions_to_f32:
+        # The reference buffers all actions through a float32 array before
+        # stepping dynamics (envs/collision_avoidance_env.py:304-306).
+        actions = actions.astype(jnp.float32).astype(state.pos.dtype)
+
+    state = _take_actions(state, actions, cfg)
+    state, rewards = _compute_rewards(state, cfg)
+    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs)
+    state, which_done, game_over = _check_dones(state, cfg)
+    state = state.replace(episode_step=state.episode_step + 1)
+
+    info = {
+        "which_agents_done": which_done,
+        "which_agents_learning": policies._isin(
+            state.policy_id, policies.STILL_LEARNING_POLICIES
+        ),
+    }
+    return state, obs, rewards, game_over, info
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sensors", "states_in_obs")
+)
+def env_reset(
+    state: EnvState,
+    cfg: EnvConfig,
+    sensors: Tuple[str, ...] = ("other_agents_states",),
+    states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
+):
+    """Compute the initial observation for a freshly-initialized state
+    (mirrors ``reset`` -> ``_get_obs``,
+    envs/collision_avoidance_env.py:236-282).
+
+    Build ``state`` itself with :func:`core.state.init_state` from a
+    scenario (host-side), then call this.
+    """
+    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs)
+    return state, obs

@@ -1,0 +1,29 @@
+from gym_collision_avoidance_tpu.policies import registry
+from gym_collision_avoidance_tpu.policies.registry import (
+    EXTERNAL,
+    STATIC,
+    NONCOOP,
+    LEARNING,
+    LEARNING_GA3C,
+    CARRL,
+    GA3C_CADRL,
+    CADRL,
+    RVO,
+    POLICY_NAMES,
+    compute_actions,
+)
+
+__all__ = [
+    "registry",
+    "EXTERNAL",
+    "STATIC",
+    "NONCOOP",
+    "LEARNING",
+    "LEARNING_GA3C",
+    "CARRL",
+    "GA3C_CADRL",
+    "CADRL",
+    "RVO",
+    "POLICY_NAMES",
+    "compute_actions",
+]
