@@ -71,8 +71,11 @@ class EnvState:
     ran_out_of_time: jax.Array         # [A] bool
     is_done: jax.Array                 # [A] bool
 
-    # -- sensor caches (envs/agent.py:124, 46) --
+    # -- sensor caches (envs/agent.py:124, 46; full matrix mirrors the
+    #    obs-dict entry produced by OtherAgentsStatesSensor that NN policies
+    #    consume on the *next* step) --
     other_agent_states: jax.Array       # [A, 7] closest-other 7-tuple
+    sensed_others: jax.Array            # [A, K, 7] last sensor output
     num_other_agents_observed: jax.Array  # [A] int32
 
     # -- per-agent component wiring (integer type ids; replaces the
@@ -180,6 +183,7 @@ def init_state(
         ran_out_of_time=false_a,
         is_done=~jnp.asarray(valid, bool),
         other_agent_states=jnp.zeros((A, 7), dtype),
+        sensed_others=jnp.zeros((A, cfg.max_num_other_agents_observed, 7), dtype),
         num_other_agents_observed=jnp.zeros((A,), jnp.int32),
         policy_id=jnp.asarray(policy_id, jnp.int32),
         dynamics_id=jnp.asarray(dynamics_id, jnp.int32),

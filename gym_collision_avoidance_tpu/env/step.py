@@ -204,7 +204,11 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
     if "other_agents_states" in sensors:
         rows, closest, counts = sensors_mod.other_agents_states(state, cfg)
         sensed["other_agents_states"] = rows
-        state = state.replace(other_agent_states=closest, num_other_agents_observed=counts)
+        state = state.replace(
+            other_agent_states=closest,
+            sensed_others=rows,
+            num_other_agents_observed=counts,
+        )
     obs = obs_spec.build_observation(state, cfg, sensed, states_in_obs)
     return state, obs
 

@@ -1,0 +1,123 @@
+"""GA3C-CADRL policy network: batched pure-JAX forward pass.
+
+Re-implements the reference's frozen TF1 graph (imported at
+``envs/policies/GA3C_CADRL/network.py:43-74``; architecture excavated from
+``checkpoints/IROS18/network_01900000.meta``):
+
+    X [B, 1 + 4 + MAX_OTHER*7]
+      -> (X - avg) / std                       (baked-in normalization)
+      -> seq_len = int(X_norm[:, 0])           (num_other_agents; avg=0 std=1)
+      -> host = X_norm[:, 1:5]                 (dist_to_goal, heading_ego,
+                                                pref_speed, radius)
+      -> others = X_norm[:, 5:].reshape(B, MAX_OTHER, 7)
+      -> dynamic_rnn(LSTMCell(64), others, sequence_length=seq_len).state.h
+      -> concat([host, h]) -> 3x Dense(256)+ReLU -> logits_p[11] / logits_v[1]
+      -> softmax / squeeze
+
+The LSTM is an ``lax.scan`` over the (<= 19-step) other-agents axis with
+copy-through masking at t >= seq_len, replicating ``tf.nn.dynamic_rnn``'s
+sequence_length semantics.  Weights come from
+``scripts/convert_ga3c_checkpoint.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HIDDEN = 64
+NUM_ACTIONS = 11
+
+_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "weights", "ga3c_cadrl_iros18.npz"
+)
+
+
+@functools.lru_cache(maxsize=4)
+def load_params(path: str = _WEIGHTS_PATH, dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Load the converted checkpoint as a dict-of-arrays pytree."""
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k], dtype) for k in z.files}
+
+
+def lstm_cell(params, x_t, c, h):
+    """One TF1 ``BasicLSTMCell``/``LSTMCell`` step (forget_bias=1.0).
+
+    TF gate order along the 4H axis is [i, j, f, o]:
+        gates = [x, h] @ kernel + bias
+        c' = c * sigmoid(f + 1.0) + sigmoid(i) * tanh(j)
+        h' = tanh(c') * sigmoid(o)
+    """
+    gates = jnp.concatenate([x_t, h], axis=-1) @ params["lstm_kernel"] + params["lstm_bias"]
+    i, j, f, o = jnp.split(gates, 4, axis=-1)
+    new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    return new_c, new_h
+
+
+def forward(params, x):
+    """Policy/value forward for a raw (unnormalized) obs batch.
+
+    Args:
+        params: from :func:`load_params`.
+        x: [B, D] raw obs vectors in the network's layout
+           [num_other_agents, dist_to_goal, heading_ego_frame, pref_speed,
+           radius, (MAX_OTHER x 7 other-agent tuples)].  D is padded/cropped
+           to the checkpoint width (crop_x semantics, network.py:24-35) by
+           :func:`crop_to_width`.
+
+    Returns:
+        (probs [B, 11], value [B])
+    """
+    width = params["input_avg"].shape[0]
+    x = crop_to_width(x, width)
+    xn = (x - params["input_avg"]) / params["input_std"]
+
+    B = xn.shape[0]
+    max_other = (width - 5) // 7
+    seq_len = xn[:, 0].astype(jnp.int32)                       # [B]
+    host = xn[:, 1:5]                                          # [B, 4]
+    others = xn[:, 5:].reshape(B, max_other, 7)                # [B, T, 7]
+
+    def scan_body(carry, inp):
+        c, h = carry
+        x_t, t = inp
+        new_c, new_h = lstm_cell(params, x_t, c, h)
+        # dynamic_rnn copy-through for t >= sequence_length.
+        keep = (t < seq_len)[:, None]
+        c = jnp.where(keep, new_c, c)
+        h = jnp.where(keep, new_h, h)
+        return (c, h), None
+
+    init = (
+        jnp.zeros((B, HIDDEN), xn.dtype),
+        jnp.zeros((B, HIDDEN), xn.dtype),
+    )
+    ts = jnp.arange(max_other)
+    (c, h), _ = jax.lax.scan(scan_body, init, (others.swapaxes(0, 1), ts))
+
+    z = jnp.concatenate([host, h], axis=-1)                    # [B, 68]
+    z = jax.nn.relu(z @ params["layer1_kernel"] + params["layer1_bias"])
+    z = jax.nn.relu(z @ params["layer2_kernel"] + params["layer2_bias"])
+    z = jax.nn.relu(z @ params["fc1_kernel"] + params["fc1_bias"])
+    logits_p = z @ params["logits_p_kernel"] + params["logits_p_bias"]
+    value = (z @ params["logits_v_kernel"] + params["logits_v_bias"])[:, 0]
+    probs = jax.nn.softmax(logits_p, axis=-1)
+    return probs, value
+
+
+def crop_to_width(x, width: int):
+    """Zero-pad or crop the trailing dim to the checkpoint's input width
+    (mirrors ``NetworkVPCore.crop_x``, network.py:24-35)."""
+    d = x.shape[-1]
+    if d > width:
+        return x[..., :width]
+    if d < width:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, width - d)]
+        return jnp.pad(x, pad)
+    return x

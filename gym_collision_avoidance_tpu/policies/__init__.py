@@ -1,4 +1,5 @@
 from gym_collision_avoidance_tpu.policies import registry
+from gym_collision_avoidance_tpu.policies import ga3c  # registers GA3C_CADRL kernel
 from gym_collision_avoidance_tpu.policies.registry import (
     EXTERNAL,
     STATIC,

@@ -1,0 +1,53 @@
+"""GA3C-CADRL internal policy kernel.
+
+Batched equivalent of ``GA3CCADRLPolicy.find_next_action``
+(``/root/reference/gym_collision_avoidance/envs/policies/GA3CCADRLPolicy.py:49-84``):
+flatten the obs in STATES_IN_OBS order (minus ``is_learning``), query the
+network, argmax over the 11-action table, scale speed by pref_speed.
+
+The network consumes the *previous* step's sensor output, which the step
+function caches in ``state.sensed_others``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gym_collision_avoidance_tpu.models import ga3c_cadrl as net
+from gym_collision_avoidance_tpu.policies import registry
+
+PARAMS_KEY = "ga3c_cadrl"
+
+
+def ga3c_cadrl_kernel(state, cfg, params):
+    if params is None or PARAMS_KEY not in params:
+        raise ValueError(
+            "GA3C_CADRL policy requires params['ga3c_cadrl'] "
+            "(use models.ga3c_cadrl.load_params())"
+        )
+    p = params[PARAMS_KEY]
+    A = state.pos.shape[0]
+
+    # Obs vector layout per Config.STATES_IN_OBS minus is_learning
+    # (GA3CCADRLPolicy.py:68-74): [num_other_agents, dist_to_goal,
+    # heading_ego_frame, pref_speed, radius, other_agents_states.flat].
+    vec = jnp.concatenate(
+        [
+            state.num_other_agents_observed.astype(jnp.float32)[:, None],
+            state.dist_to_goal.astype(jnp.float32)[:, None],
+            state.heading_ego_frame.astype(jnp.float32)[:, None],
+            state.pref_speed.astype(jnp.float32)[:, None],
+            state.radius.astype(jnp.float32)[:, None],
+            state.sensed_others.astype(jnp.float32).reshape(A, -1),
+        ],
+        axis=-1,
+    )
+    probs, _value = net.forward(p, vec)
+    idx = jnp.argmax(probs, axis=-1)
+    table = jnp.asarray(registry.ga3c_actions_table(), state.pos.dtype)
+    raw = table[idx]
+    return jnp.stack([state.pref_speed * raw[:, 0], raw[:, 1]], axis=-1)
+
+
+registry.register_internal(registry.GA3C_CADRL, ga3c_cadrl_kernel)
