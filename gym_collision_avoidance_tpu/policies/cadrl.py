@@ -1,0 +1,428 @@
+"""SA-CADRL internal policy: batched one-step-lookahead over 47 candidate
+actions.
+
+Branch-free JAX port of the behavioral core of the reference's
+``CADRLPolicy`` + legacy ``NN_navigation_value`` stack:
+
+* wrapper & agent conversion  — envs/policies/CADRLPolicy.py:27-167
+* candidate actions (47)      — nn_navigation_value_multi.py:561-647
+* dt_forward lookahead        — :1258-1265
+* other-agent propagation     — :946-1050, :1636-1700
+* segment-segment collision + front-agent velocity hack — :1874-2007,
+  gen_rand_testcases.py:54-88
+* shaped action rewards       — :776-827
+* state propagation           — :1700-1794
+* agent-centric encoding      — pedData_processing_multi.py:375-471
+* value lookup + upper bound  — :2052-2100
+* value combination + argmax  — :1267-1295, :1403-1456
+
+Everything is computed for all agents x all 47 actions x all 3 other-slots
+and masked, so the whole policy is a few fused batched matmuls + vector ops
+(TPU idiom), vmapped over ego agents.
+
+Constants from CADRL/scripts/multi/global_var.py:5-62.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gym_collision_avoidance_tpu.core import maths
+from gym_collision_avoidance_tpu.models import cadrl as cadrl_net
+from gym_collision_avoidance_tpu.policies import registry
+
+PARAMS_KEY = "cadrl"
+
+GAMMA = 0.97
+DT_NORMAL = 0.5
+COLLISION_COST = -0.25
+DIST_2_GOAL_THRES = 0.05
+GETTING_CLOSE_RANGE = 0.2
+EPS = 1e-5
+DT_FORWARD_DEFAULT = 1.0   # NN_navigation_value.dt_forward (:210)
+RADIUS_BUFFER = 0.0        # :211
+NUM_ACTIONS = 47
+NUM_SLOTS = 3              # the shipped net is a 4-agent net
+
+
+def _mod_wrap(a):
+    """(a + pi) % (2 pi) - pi — the legacy stack's angle wrap
+    (find_angle_diff, CADRL utils)."""
+    return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
+
+def _candidate_actions(s10):
+    """The 47 candidate (speed, global-heading) pairs
+    (find_actions_theta, nn_navigation_value_multi.py:561-647)."""
+    pref = s10[5]
+    cur_speed = jnp.sqrt(s10[2] ** 2 + s10[3] ** 2)
+    default = jnp.stack([cur_speed, s10[4]])
+
+    desired_angle = jnp.arctan2(s10[7] - s10[1], s10[6] - s10[0])
+    desired_scales = jnp.array([1.0, 0.80, 0.60, 0.40, 0.20])
+    desired = jnp.stack(
+        [pref * desired_scales, jnp.full((5,), desired_angle)], axis=-1
+    )
+
+    zero = jnp.zeros((1, 2))
+
+    near_headings = s10[4] + jnp.linspace(-jnp.pi / 3.0, jnp.pi / 3.0, 10)
+    near_scales = jnp.array([1.0, 0.75, 0.50, 0.25])
+    near_speed = pref * near_scales                               # [4]
+    near = jnp.stack(
+        [
+            jnp.repeat(near_speed, 10),
+            jnp.tile(near_headings, 4),
+        ],
+        axis=-1,
+    )                                                             # [40, 2]
+
+    actions = jnp.concatenate([default[None], desired, zero, near], axis=0)
+    return actions.at[:, 1].set(_mod_wrap(actions[:, 1]))
+
+
+def _update_states(s10, actions, dt):
+    """Propagate the ego state under each action
+    (update_states, :1700-1794, mode no_constr; the turning-dir slot [9] is
+    also updated there but nothing downstream reads it — the encoder zeroes
+    it, pedData_processing_multi.py:336 — so it is skipped here)."""
+    n = actions.shape[0]
+    nxt = jnp.tile(s10, (n, 1))
+    c = jnp.cos(actions[:, 1])
+    s = jnp.sin(actions[:, 1])
+    nxt = nxt.at[:, 0].add(actions[:, 0] * c * dt)
+    nxt = nxt.at[:, 1].add(actions[:, 0] * s * dt)
+    nxt = nxt.at[:, 2].set(actions[:, 0] * c)
+    nxt = nxt.at[:, 3].set(actions[:, 0] * s)
+    nxt = nxt.at[:, 4].set(actions[:, 1])
+    return nxt
+
+
+def _seg_min_dists(x1, x2, y1, y2):
+    """Min distance between the moving-point segments (x1->x2[i]) and
+    (y1->y2[i]) (find_dist_between_segs, gen_rand_testcases.py:54-88; the
+    start distance is not part of the min)."""
+    end_dist = jnp.linalg.norm(x2 - y2, axis=1)
+    z_bar = (x2 - x1) - (y2 - y1)
+    zz = jnp.sum(z_bar * z_bar, axis=1)
+    nonzero = jnp.sqrt(zz) > 0
+    t_bar = -jnp.sum((x1 - y1) * z_bar, axis=1) / jnp.where(nonzero, zz, 1.0)
+    interp = (x1 + (x2 - x1) * t_bar[:, None]) - (y1 + (y2 - y1) * t_bar[:, None])
+    dist_bar = jnp.linalg.norm(interp, axis=1)
+    use_crit = nonzero & (t_bar > 0) & (t_bar < 1.0)
+    critical = jnp.where(use_crit, dist_bar, end_dist)
+    return jnp.minimum(end_dist, critical)
+
+
+def _if_actions_collide(s10, actions, other_s10, other_action, dt):
+    """(min_dists[47], if_collide[47]) vs one other agent
+    (if_actions_collide, :1874-2007)."""
+    pref = s10[5]
+    other_speed = other_action[0]
+    radius = s10[8] + other_s10[8] + RADIUS_BUFFER
+    n = actions.shape[0]
+
+    p_e = s10[0:2]
+    p_o = other_s10[0:2]
+    dist_eo = jnp.linalg.norm(p_e - p_o)
+    too_far = dist_eo > (pref + other_speed) * dt + radius
+
+    agent_vels = jnp.stack(
+        [actions[:, 0] * jnp.cos(actions[:, 1]), actions[:, 0] * jnp.sin(actions[:, 1])],
+        axis=-1,
+    )
+    other_v = jnp.array(
+        [other_action[0] * jnp.cos(other_action[1]), other_action[0] * jnp.sin(other_action[1])]
+    )
+    other_vels = jnp.tile(other_v, (n, 1))
+
+    # Front-agent velocity-projection hack (:1913-1957).
+    p_oa_angle = jnp.arctan2(p_o[1] - p_e[1], p_o[0] - p_e[0])
+    agent_speed_angles = jnp.arctan2(agent_vels[:, 1], agent_vels[:, 0])
+    other_speed_angle = jnp.arctan2(other_v[1], other_v[0])
+    heading_diff = _mod_wrap(agent_speed_angles - other_speed_angle)
+    heading_2_other = _mod_wrap(agent_speed_angles - p_oa_angle)
+    r_close = s10[8] + other_s10[8] + GETTING_CLOSE_RANGE
+    coll_angle = jnp.abs(
+        jnp.arcsin(jnp.minimum(0.95, r_close / jnp.maximum(dist_eo, 1e-30)))
+    )
+    front = (jnp.abs(heading_2_other) < coll_angle) & (jnp.abs(heading_diff) < jnp.pi / 2.0)
+    dot = jnp.sum(agent_vels * other_vels, axis=1)
+    vel_norm = jnp.linalg.norm(agent_vels, axis=1)
+    # Only rows with vx > EPS get normalized (reference quirk, :1946-1949).
+    dot = jnp.where(agent_vels[:, 0] > EPS, dot / jnp.maximum(vel_norm, 1e-30), dot)
+    other_vels = jnp.where(
+        front[:, None], other_vels - dot[:, None] * agent_vels / 2.0, other_vels
+    )
+
+    horizon = jnp.minimum(1.0, dt)
+    x2 = p_e + horizon * agent_vels
+    y2 = p_o + horizon * other_vels
+    min_dists = _seg_min_dists(p_e, x2, p_o, y2)
+
+    if_collide = jnp.where(dist_eo < radius, True, min_dists < radius)
+    min_dists = min_dists - radius
+
+    far_min = radius + GETTING_CLOSE_RANGE + EPS
+    min_dists = jnp.where(too_far, far_min, min_dists)
+    if_collide = jnp.where(too_far, False, if_collide)
+    return min_dists, if_collide
+
+
+def _action_rewards(s10, cur_dist, min_dists):
+    """Shaped per-action rewards (find_action_rewards, :776-827)."""
+    d = jnp.linalg.norm(s10[0:2] - s10[6:8])
+    v = s10[5]
+    gcp = GAMMA ** (d / DT_NORMAL) * (1.0 - GAMMA ** (-v / DT_NORMAL))
+
+    rewards = jnp.zeros_like(min_dists)
+    rewards = jnp.where(cur_dist < GETTING_CLOSE_RANGE, gcp, rewards)
+    close = (min_dists > 0) & (min_dists < GETTING_CLOSE_RANGE)
+    rewards = jnp.where(close, rewards + gcp, rewards)
+    rewards = jnp.where(min_dists < 0, COLLISION_COST, rewards)
+    shaped = 2.0 * rewards + 5.0 * gcp * (GETTING_CLOSE_RANGE - min_dists)
+    rewards = jnp.where(close, jnp.clip(shaped, COLLISION_COST + 0.01, 0.0), rewards)
+    # Full collision of the *current* position overrides everything (:783-785).
+    return jnp.where(cur_dist < 0, COLLISION_COST, rewards)
+
+
+def _encode(agent_next, others_next, others_present):
+    """Agent-centric NN encoding for a batch of ego next-states vs <= 3
+    other next-states (rawStates_2_agentCentricStates,
+    pedData_processing_multi.py:375-471).  ``others_next`` must already be
+    reordered closest-first; absent slots get block-0's first 7 entries with
+    is_on=0 (:465-467 + filler :385-388)."""
+    n = agent_next.shape[0]
+    goal_dir = agent_next[:, 6:8] - agent_next[:, 0:2]
+    dist_to_goal = jnp.clip(jnp.linalg.norm(goal_dir, axis=1), 0, 30)
+    valid = dist_to_goal > EPS
+    ref_prll = jnp.stack([jnp.cos(agent_next[:, 4]), jnp.sin(agent_next[:, 4])], -1)
+    # Note: division by the *clipped* distance (reference quirk — for
+    # dist > 30 the frame axis is not unit length).
+    ref_prll = jnp.where(
+        valid[:, None], goal_dir / jnp.maximum(dist_to_goal, 1e-30)[:, None], ref_prll
+    )
+    ref_orth = jnp.stack([-ref_prll[:, 1], ref_prll[:, 0]], -1)
+    ref_angle = jnp.arctan2(ref_prll[:, 1], ref_prll[:, 0])
+    heading = _mod_wrap(agent_next[:, 4] - ref_angle)
+    cur_speed = jnp.linalg.norm(agent_next[:, 2:4], axis=1)
+    host = jnp.stack(
+        [
+            dist_to_goal,
+            agent_next[:, 5],
+            cur_speed,
+            heading,
+            cur_speed * jnp.cos(heading),
+            cur_speed * jnp.sin(heading),
+            agent_next[:, 8],
+        ],
+        axis=-1,
+    )                                                             # [n, 7]
+
+    blocks = []
+    for i in range(NUM_SLOTS):
+        o = others_next[i]
+        rel = o[0:2] - agent_next[:, 0:2]
+        rel_x = jnp.clip(jnp.sum(rel * ref_prll, axis=1), -8, 8)
+        rel_y = jnp.clip(jnp.sum(rel * ref_orth, axis=1), -8, 8)
+        ovx = jnp.sum(o[2:4] * ref_prll, axis=1)
+        ovy = jnp.sum(o[2:4] * ref_orth, axis=1)
+        o_r = jnp.full((n,), o[8])
+        comb = agent_next[:, 8] + o_r
+        d2o = jnp.clip(
+            jnp.linalg.norm(agent_next[:, 0:2] - o[0:2], axis=1)
+            - agent_next[:, 8] - o_r,
+            -3,
+            10,
+        )
+        is_on = jnp.where(ovx**2 + ovy**2 < EPS, 2.0, 1.0)
+        blocks.append(jnp.stack([ovx, ovy, rel_x, rel_y, o_r, comb, d2o, is_on], -1))
+    blocks = jnp.stack(blocks, axis=1)                            # [n, 3, 8]
+
+    absent_block = jnp.concatenate(
+        [blocks[:, 0, :7], jnp.zeros((n, 1))], axis=-1
+    )
+    blocks = jnp.where(others_present[None, :, None], blocks, absent_block[:, None, :])
+    return jnp.concatenate([host, blocks.reshape(n, -1)], axis=-1)  # [n, 31]
+
+
+def _cadrl_action_single(h, state, cfg, params):
+    """The full lookahead for ego agent index ``h``."""
+    dtype = state.pos.dtype
+    A = state.pos.shape[0]
+
+    s10 = jnp.concatenate(
+        [
+            state.pos[h],
+            state.vel[h],
+            state.heading[h][None],
+            state.pref_speed[h][None],
+            state.goal[h],
+            state.radius[h][None],
+            state.turning_dir[h][None],
+        ]
+    )
+
+    # --- select <= 3 closest others (CADRLPolicy.py:125-139) ---
+    rel = state.pos - state.pos[h]
+    dist_centers = maths.norm2(rel)
+    d2other = dist_centers - state.radius[h] - state.radius
+    p_orth = rel @ state.ref_orth[h]
+    cand = (
+        (jnp.arange(A) != h) & state.valid & (dist_centers <= cfg.sensing_horizon)
+    )
+    # sorted by (-round(d,2), p_orth) ascending; invalid first (-inf keys) so
+    # that the *last* k are the k closest, ordered farthest-of-the-k first.
+    key1 = jnp.where(cand, -(jnp.round(d2other * 100.0) / 100.0), -jnp.inf)
+    key2 = jnp.where(cand, p_orth, -jnp.inf)
+    order = jnp.lexsort((key2, key1))
+    if A < NUM_SLOTS + 1:
+        # Fewer than 3 possible others: left-pad with the ego index, which is
+        # never a candidate, so the window stays a static [3].
+        order = jnp.concatenate([jnp.full((NUM_SLOTS + 1 - A,), h), order])
+    k_slots = min(NUM_SLOTS, cfg.max_num_other_agents_observed)
+    window = order[-NUM_SLOTS:]                                   # [3]
+    pos_in_window = jnp.arange(NUM_SLOTS)
+    eligible = cand[window] & (pos_in_window >= NUM_SLOTS - k_slots)
+    # compact eligible slots to the front, preserving order
+    shift = jnp.sum(~eligible)
+    idx = (pos_in_window + shift) % NUM_SLOTS
+    window = window[idx]
+    present = eligible[idx]                                       # [3]
+    num_present = jnp.sum(present)
+
+    # other CADRL states [3, 10] + filtered-velocity actions [3, 2]
+    # (CADRLPolicy.py:145-166)
+    o = window
+    others_s10 = jnp.concatenate(
+        [
+            state.pos[o],
+            state.vel[o],
+            state.heading[o][:, None],
+            state.pref_speed[o][:, None],
+            state.goal[o],
+            state.radius[o][:, None],
+            state.turning_dir[o][:, None],
+        ],
+        axis=-1,
+    )
+    dt_past = jnp.full((NUM_SLOTS, 2), cfg.dt, dtype)
+    others_action = maths.filter_vel(dt_past, state.past_vel[o])   # [3, 2]
+
+    # overwrite others' velocity from their (filtered) action (:974-983)
+    oc = jnp.cos(others_action[:, 1])
+    os_ = jnp.sin(others_action[:, 1])
+    others_s10 = others_s10.at[:, 2].set(others_action[:, 0] * oc)
+    others_s10 = others_s10.at[:, 3].set(others_action[:, 0] * os_)
+
+    # --- lookahead horizon (:1258-1265) ---
+    pref = s10[5]
+    dist_to_goal = jnp.linalg.norm(s10[6:8] - s10[0:2])
+    dt_forward = jnp.minimum(
+        jnp.maximum(DT_FORWARD_DEFAULT, 0.5 / pref), dist_to_goal / pref
+    )
+
+    actions = _candidate_actions(s10)                             # [47, 2]
+
+    # --- collisions vs each present other (:1005-1017) ---
+    def per_other(other_s10, other_act):
+        return _if_actions_collide(s10, actions, other_s10, other_act, dt_forward)
+
+    min_d_mat, if_c_mat = jax.vmap(per_other)(others_s10, others_action)  # [3,47]
+    min_d_mat = jnp.where(present[:, None], min_d_mat, jnp.inf)
+    if_c_mat = jnp.where(present[:, None], if_c_mat, False)
+    min_dists = jnp.min(min_d_mat, axis=0)                        # [47]
+    if_collide = jnp.any(if_c_mat, axis=0)
+
+    cur_dist_vec = jnp.where(
+        present,
+        jnp.linalg.norm(s10[0:2] - others_s10[:, 0:2], axis=1)
+        - (s10[8] + others_s10[:, 8] + RADIUS_BUFFER),
+        jnp.inf,
+    )
+    cur_dist = jnp.min(cur_dist_vec)
+
+    action_rewards = _action_rewards(s10, cur_dist, min_dists)
+
+    # --- propagate ego + others one lookahead step ---
+    agent_next = _update_states(s10, actions, dt_forward)         # [47, 10]
+    others_next = _update_states_others(others_s10, others_action, dt_forward)
+
+    d_next = jnp.linalg.norm(agent_next[:, 0:2] - agent_next[:, 6:8], axis=1)
+    reached = (d_next < DIST_2_GOAL_THRES) & (min_dists > GETTING_CLOSE_RANGE)
+    needs_nn = ~if_collide & ~reached
+
+    # --- encoder reorder: closest other to slot 0, measured from the first
+    # NN-queried row's next position (pedData reorder uses agent_states[0],
+    # pedData_processing_multi.py:268-277, 377-379) ---
+    first_sel = jnp.argmax(needs_nn)                              # 0 if none
+    d_reorder = jnp.where(
+        present,
+        jnp.linalg.norm(others_next[:, 0:2] - agent_next[first_sel, 0:2], axis=1),
+        jnp.inf,
+    )
+    closest = jnp.argmin(d_reorder)
+    perm = jnp.arange(NUM_SLOTS)
+    perm = perm.at[0].set(closest).at[closest].set(0)
+    others_next_r = others_next[perm]
+    present_r = present[perm]
+
+    states_nn = _encode(agent_next, others_next_r, present_r)     # [47, 31]
+    nn_vals = jnp.clip(cadrl_net.forward_raw(params, states_nn), -0.25, 1.0)
+    nn_vals = jnp.minimum(GAMMA ** (states_nn[:, 0] / DT_NORMAL), nn_vals)
+
+    state_values = jnp.where(
+        if_collide,
+        0.0,
+        jnp.where(reached, GAMMA ** (d_next / DT_NORMAL), nn_vals),
+    )
+
+    # --- combine (:1284-1295) ---
+    dt_vec = 0.2 * dt_forward + 0.8 * actions[:, 0] / pref * dt_forward
+    values = action_rewards + GAMMA ** (dt_vec * pref / DT_NORMAL) * state_values
+
+    best = jnp.argmax(values)
+    best_action = actions[best]
+
+    # wrapper: heading becomes an offset from the current heading
+    # (CADRLPolicy.py:78); with no visible others, head straight to goal at
+    # speed 1.0 (the reference's intent at CADRLPolicy.py:80 — its literal
+    # code would raise AttributeError, so the fallback can't fire there).
+    action = jnp.stack(
+        [best_action[0], maths.wrap(best_action[1] - state.heading[h])]
+    )
+    fallback = jnp.stack(
+        [jnp.asarray(1.0, dtype), -state.heading_ego_frame[h]]
+    )
+    return jnp.where(num_present > 0, action, fallback)
+
+
+def _update_states_others(others_s10, others_action, dt):
+    """Propagate each other agent by its action (update_state, :1636-1700;
+    heading/turning-dir slots are not read downstream)."""
+    c = jnp.cos(others_action[:, 1])
+    s = jnp.sin(others_action[:, 1])
+    nxt = others_s10
+    nxt = nxt.at[:, 0].add(others_action[:, 0] * c * dt)
+    nxt = nxt.at[:, 1].add(others_action[:, 0] * s * dt)
+    nxt = nxt.at[:, 2].set(others_action[:, 0] * c)
+    nxt = nxt.at[:, 3].set(others_action[:, 0] * s)
+    nxt = nxt.at[:, 4].set(others_action[:, 1])
+    return nxt
+
+
+def cadrl_kernel(state, cfg, params):
+    if params is None or PARAMS_KEY not in params:
+        raise ValueError(
+            "CADRL policy requires params['cadrl'] "
+            "(use models.cadrl.load_params())"
+        )
+    p = params[PARAMS_KEY]
+    A = state.pos.shape[0]
+    return jax.vmap(lambda h: _cadrl_action_single(h, state, cfg, p))(
+        jnp.arange(A)
+    )
+
+
+registry.register_internal(registry.CADRL, cadrl_kernel)
