@@ -78,6 +78,11 @@ class EnvState:
     sensed_others: jax.Array            # [A, K, 7] last sensor output
     num_other_agents_observed: jax.Array  # [A] int32
 
+    # -- laserscan stacked history (LaserScanSensor.py:43-44, 84-90);
+    #    empty [A, 0, 0] when cfg.use_static_map is off --
+    laserscan_history: jax.Array        # [A, P, L]
+    laserscan_count: jax.Array          # [A] int32
+
     # -- per-agent component wiring (integer type ids; replaces the
     #    reference's per-Agent policy/dynamics/sensor objects,
     #    envs/agent.py:31-33) --
@@ -145,7 +150,9 @@ def init_state(
     )
 
     if policy_id is None:
-        policy_id = jnp.zeros((A,), jnp.int32)
+        # Default to NonCooperative (id 2), not EXTERNAL (id 0): a state
+        # built without explicit wiring should move on its own.
+        policy_id = jnp.full((A,), 2, jnp.int32)
     if dynamics_id is None:
         dynamics_id = jnp.zeros((A,), jnp.int32)
     if valid is None:
@@ -185,6 +192,12 @@ def init_state(
         other_agent_states=jnp.zeros((A, 7), dtype),
         sensed_others=jnp.zeros((A, cfg.max_num_other_agents_observed, 7), dtype),
         num_other_agents_observed=jnp.zeros((A,), jnp.int32),
+        laserscan_history=jnp.zeros(
+            (A, cfg.laserscan_num_past, cfg.laserscan_length) if cfg.use_static_map
+            else (A, 0, 0),
+            dtype,
+        ),
+        laserscan_count=jnp.zeros((A,), jnp.int32),
         policy_id=jnp.asarray(policy_id, jnp.int32),
         dynamics_id=jnp.asarray(dynamics_id, jnp.int32),
         valid=jnp.asarray(valid, bool),

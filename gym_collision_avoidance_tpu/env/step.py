@@ -32,6 +32,7 @@ from gym_collision_avoidance_tpu.config import EnvConfig
 from gym_collision_avoidance_tpu.core import dynamics as dyn
 from gym_collision_avoidance_tpu.core import maths
 from gym_collision_avoidance_tpu.core.state import EnvState
+from gym_collision_avoidance_tpu.maps import grid as map_grid
 from gym_collision_avoidance_tpu.obs import sensors as sensors_mod
 from gym_collision_avoidance_tpu.obs import spec as obs_spec
 from gym_collision_avoidance_tpu.policies import registry as policies
@@ -154,14 +155,17 @@ def _pairwise_collisions(state: EnvState, cfg: EnvConfig):
     return collision, dist_btwn_nearest
 
 
-def _compute_rewards(state: EnvState, cfg: EnvConfig):
+def _compute_rewards(state: EnvState, cfg: EnvConfig, static_map=None):
     """Reward shaping + collision latching
     (envs/collision_avoidance_env.py:394-456)."""
     dtype = state.pos.dtype
     collision_with_agent, dist_nearest = _pairwise_collisions(state, cfg)
-    # Static-map wall collisions are wired in by the map module (round 2);
-    # without a map there are no walls (cfg.use_static_map False).
-    collision_with_wall = jnp.zeros_like(collision_with_agent)
+    if cfg.use_static_map and static_map is not None:
+        collision_with_wall = map_grid.wall_collisions(
+            static_map, state.pos, state.radius, state.valid, cfg
+        )
+    else:
+        collision_with_wall = jnp.zeros_like(collision_with_agent)
 
     r = jnp.full((state.pos.shape[0],), cfg.reward_time_step, dtype)
 
@@ -198,9 +202,36 @@ def _compute_rewards(state: EnvState, cfg: EnvConfig):
 
 
 def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
-                       states_in_obs: Sequence[str]):
+                       states_in_obs: Sequence[str], static_map=None):
     """Sensor pass + obs assembly (envs/collision_avoidance_env.py:555-575)."""
     sensed = {}
+    needs_map = cfg.use_static_map and (
+        "laserscan" in sensors or "occupancy_grid" in sensors
+    )
+    if needs_map:
+        if static_map is None:
+            raise ValueError("laserscan/occupancy_grid sensors need a static_map")
+        dynamic_map = map_grid.stamp_agents(
+            static_map, state.pos, state.radius, state.valid, cfg
+        )
+    if "laserscan" in sensors:
+        ranges = sensors_mod.laserscan(state, cfg, dynamic_map)
+        rolled = jnp.concatenate(
+            [ranges[:, None, :], state.laserscan_history[:, :-1, :]], axis=1
+        )
+        # First-ever measurement fills the whole history
+        # (LaserScanSensor.py:84-88).
+        first = (state.laserscan_count == 0)[:, None, None]
+        P = state.laserscan_history.shape[1]
+        hist = jnp.where(
+            first, jnp.broadcast_to(ranges[:, None, :], rolled.shape), rolled
+        )
+        state = state.replace(
+            laserscan_history=hist, laserscan_count=state.laserscan_count + 1
+        )
+        sensed["laserscan"] = hist
+    if "occupancy_grid" in sensors:
+        sensed["occupancy_grid"] = sensors_mod.occupancy_grid(state, cfg, dynamic_map)
     if "other_agents_states" in sensors:
         rows, closest, counts = sensors_mod.other_agents_states(state, cfg)
         sensed["other_agents_states"] = rows
@@ -244,6 +275,7 @@ def env_step(
     active_policies: Tuple[int, ...] = (policies.NONCOOP,),
     sensors: Tuple[str, ...] = ("other_agents_states",),
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
+    static_map=None,
 ):
     """Advance one env by one timestep.
 
@@ -273,8 +305,8 @@ def env_step(
         actions = actions.astype(jnp.float32).astype(state.pos.dtype)
 
     state = _take_actions(state, actions, cfg)
-    state, rewards = _compute_rewards(state, cfg)
-    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs)
+    state, rewards = _compute_rewards(state, cfg, static_map)
+    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs, static_map)
     state, which_done, game_over = _check_dones(state, cfg)
     state = state.replace(episode_step=state.episode_step + 1)
 
@@ -295,6 +327,7 @@ def env_reset(
     cfg: EnvConfig,
     sensors: Tuple[str, ...] = ("other_agents_states",),
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
+    static_map=None,
 ):
     """Compute the initial observation for a freshly-initialized state
     (mirrors ``reset`` -> ``_get_obs``,
@@ -303,5 +336,5 @@ def env_reset(
     Build ``state`` itself with :func:`core.state.init_state` from a
     scenario (host-side), then call this.
     """
-    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs)
+    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs, static_map)
     return state, obs

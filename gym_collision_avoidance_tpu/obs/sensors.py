@@ -15,8 +15,95 @@ import jax.numpy as jnp
 
 from gym_collision_avoidance_tpu import config as cfg_mod
 from gym_collision_avoidance_tpu.core import maths
+from gym_collision_avoidance_tpu.maps import grid as map_grid
 
 _INF = jnp.inf
+
+# LaserScan geometry (hard-coded in the reference,
+# envs/sensors/LaserScanSensor.py:32-39).
+LASER_RANGE_RESOLUTION = 0.1
+LASER_MAX_RANGE = 6.0
+LASER_MIN_ANGLE = -jnp.pi / 2
+LASER_MAX_ANGLE = jnp.pi / 2
+
+
+def laserscan(state, cfg, dynamic_map):
+    """Batched ray-march over the agent-stamped occupancy grid.
+
+    Replicates ``LaserScanSensor.sense`` (LaserScanSensor.py:49-101): a
+    (beams x range-samples) grid of sample points, map lookup with the ego
+    disc masked out, and the reference's cumsum==1 "first hit" rule —
+    including its literal semantics that the LAST index with cumsum==1 wins
+    (a thick obstacle yields the first-hit range; a 1-cell-thin one reads
+    past it).
+
+    Returns:
+        ranges [A, num_beams] in meters.
+    """
+    A = state.pos.shape[0]
+    L = cfg.laserscan_length
+    dtype = state.pos.dtype
+    angles0 = jnp.linspace(LASER_MIN_ANGLE, LASER_MAX_ANGLE, L).astype(dtype)
+    rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
+    R = rsamples.shape[0]
+
+    angles = angles0[None, :] + state.heading[:, None]          # [A, L]
+    dx = rsamples[None, None, :] * jnp.cos(angles)[:, :, None]  # [A, L, R]
+    dy = rsamples[None, None, :] * jnp.sin(angles)[:, :, None]
+    pts = state.pos[:, None, None, :] + jnp.stack([dx, dy], axis=-1)
+
+    ii, jj, in_map = map_grid.world_to_map(pts, cfg, dynamic_map.shape)
+    H, W = dynamic_map.shape
+    ii_c = jnp.clip(ii, 0, H - 1)
+    jj_c = jnp.clip(jj, 0, W - 1)
+    occupied = dynamic_map[ii_c, jj_c]
+
+    # Mask out the ego disc (LaserScanSensor.py:76-77): membership test of
+    # the sampled cell in the ego's own stamped circle.
+    gi, gj, ego_in_map = map_grid.world_to_map(state.pos, cfg, dynamic_map.shape)
+    r_cells = state.radius / cfg.map_grid_cell_size
+    in_ego = (
+        (jj_c - gj[:, None, None]) ** 2 + (ii_c - gi[:, None, None]) ** 2
+        < (r_cells**2)[:, None, None]
+    ) & ego_in_map[:, None, None]
+
+    hits = occupied & ~in_ego & in_map                          # [A, L, R]
+    csum = jnp.cumsum(hits.astype(jnp.int32), axis=-1)
+    one = csum == 1
+    # last range-index with cumsum==1 wins (numpy fancy-assignment order).
+    idx = jnp.max(
+        jnp.where(one, jnp.arange(R)[None, None, :], -1), axis=-1
+    )                                                           # [A, L]
+    return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
+
+
+def occupancy_grid(state, cfg, dynamic_map):
+    """Batched 5x5 m ego-centered crop of the dynamic map
+    (OccupancyGridSensor.sense, OccupancyGridSensor.py:24-88; out-of-map
+    cells are zero-filled).
+
+    Returns:
+        [A, 50, 50] bool (5 m / the map's 0.1 m cells).
+    """
+    H, W = dynamic_map.shape
+    cell = cfg.map_grid_cell_size
+    x_w = y_w = 5.0
+    n_i = int(y_w / cell)
+    n_j = int(x_w / cell)
+    half = jnp.asarray([x_w / 2.0, y_w / 2.0], state.pos.dtype)
+
+    # upper-left grid corner (max y, min x) -> (i_low, j_low)
+    i_low, _, _ = map_grid.world_to_map(state.pos + half, cfg, dynamic_map.shape)
+    _, j_low, _ = map_grid.world_to_map(state.pos - half, cfg, dynamic_map.shape)
+
+    rows = i_low[:, None] + jnp.arange(n_i)[None, :]            # [A, n_i]
+    cols = j_low[:, None] + jnp.arange(n_j)[None, :]            # [A, n_j]
+    rv = (rows >= 0) & (rows < H)
+    cv = (cols >= 0) & (cols < W)
+    vals = dynamic_map[
+        jnp.clip(rows, 0, H - 1)[:, :, None], jnp.clip(cols, 0, W - 1)[:, None, :]
+    ]
+    return vals & rv[:, :, None] & cv[:, None, :]
 
 
 def other_agents_states(state, cfg):

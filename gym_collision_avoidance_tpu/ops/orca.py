@@ -1,0 +1,264 @@
+"""Batched ORCA (reciprocal velocity obstacles) in pure JAX.
+
+TPU-native replacement for the C++ RVO2 library the reference drives
+through Cython (``envs/policies/RVOPolicy.py:25-96``; built from source in
+install.sh:26-33).  Implements the ORCA velocity computation of van den
+Berg et al. (ISRR 2009) — half-plane construction per neighbor + the
+incremental 2-D linear program with the densest-case LP3 fallback — as
+fixed-shape masked ops:
+
+* neighbor "k-d tree" -> masked all-pairs sort by distance (A <= ~40, so
+  O(A^2) beats a tree on TPU),
+* LP2's sequential constraint insertion -> ``lax.fori_loop`` with a
+  first-failure latch,
+* LP1 -> one vectorized pass over the prefix constraints (tLeft/tRight are
+  monotone, so the loop collapses to masked min/max reductions),
+* LP3 -> masked outer loop, entered only when some agent's LP2 failed.
+
+The per-agent ``collab_coeff`` reproduces the mit-acl fork's collaboration
+coefficient (0.5 = classic reciprocity; 0 = egoistic): it scales the
+half-plane offset ``u``.  Matches native/orca.cpp (the C++ oracle) to
+~1e-12 in float64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5  # RVO_EPSILON
+
+
+def _det(ax, ay, bx, by):
+    return ax * by - ay * bx
+
+
+def _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt):
+    """Solve on line k subject to lines j < k and the disc (linearProgram1).
+
+    Returns (fail, result[2]).
+    """
+    NL = pt.shape[0]
+    p_k = pt[k]
+    d_k = dr[k]
+    dot_p = jnp.dot(p_k, d_k)
+    disc = dot_p * dot_p + radius * radius - jnp.dot(p_k, p_k)
+    fail0 = disc < 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_left0 = -dot_p - sq
+    t_right0 = -dot_p + sq
+
+    mask = (jnp.arange(NL) < k) & lvalid
+    denom = _det(d_k[0], d_k[1], dr[:, 0], dr[:, 1])
+    numer = _det(dr[:, 0], dr[:, 1], p_k[0] - pt[:, 0], p_k[1] - pt[:, 1])
+    small = jnp.abs(denom) <= EPS
+    fail1 = jnp.any(mask & small & (numer < 0.0))
+    t = numer / jnp.where(small, 1.0, denom)
+    t_right = jnp.min(
+        jnp.where(mask & ~small & (denom >= 0.0), t, jnp.inf)
+    )
+    t_left = jnp.max(
+        jnp.where(mask & ~small & (denom < 0.0), t, -jnp.inf)
+    )
+    t_left = jnp.maximum(t_left0, t_left)
+    t_right = jnp.minimum(t_right0, t_right)
+    fail = fail0 | fail1 | (t_left > t_right)
+
+    if direction_opt:
+        t_sel = jnp.where(jnp.dot(opt_vel, d_k) > 0.0, t_right, t_left)
+    else:
+        t_sel = jnp.clip(jnp.dot(d_k, opt_vel - p_k), t_left, t_right)
+    return fail, p_k + t_sel * d_k
+
+
+def _lp2(pt, dr, lvalid, radius, opt_vel, direction_opt):
+    """Sequential constraint insertion (linearProgram2).
+
+    Returns (result[2], fail_idx) with fail_idx == NL on success.
+    """
+    NL = pt.shape[0]
+    if direction_opt:
+        res0 = radius * opt_vel
+    else:
+        speed_sq = jnp.dot(opt_vel, opt_vel)
+        res0 = jnp.where(
+            speed_sq > radius * radius,
+            radius * opt_vel / jnp.sqrt(jnp.maximum(speed_sq, 1e-300)),
+            opt_vel,
+        )
+
+    def body(k, carry):
+        result, fail_idx = carry
+        violated = _det(dr[k, 0], dr[k, 1], pt[k, 0] - result[0], pt[k, 1] - result[1]) > 0.0
+        active = lvalid[k] & (fail_idx == NL) & violated
+        fail, res = _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt)
+        result = jnp.where(active & ~fail, res, result)
+        fail_idx = jnp.where(active & fail, k, fail_idx)
+        return result, fail_idx
+
+    return jax.lax.fori_loop(0, NL, body, (res0, jnp.asarray(NL)))
+
+
+def _lp3(pt, dr, lvalid, begin_line, radius, result):
+    """Densest-case fallback (linearProgram3): minimize max violation."""
+    NL = pt.shape[0]
+
+    def body(i, carry):
+        result, distance = carry
+        viol = _det(dr[i, 0], dr[i, 1], pt[i, 0] - result[0], pt[i, 1] - result[1])
+        active = lvalid[i] & (i >= begin_line) & (viol > distance)
+
+        # Projected constraints of lines j < i onto line i.
+        denom = _det(dr[i, 0], dr[i, 1], dr[:, 0], dr[:, 1])
+        small = jnp.abs(denom) <= EPS
+        same_dir = small & (jnp.sum(dr[i] * dr, axis=1) > 0.0)
+        mid = 0.5 * (pt[i] + pt)
+        tproj = _det(dr[:, 0], dr[:, 1], pt[i, 0] - pt[:, 0], pt[i, 1] - pt[:, 1]) / jnp.where(
+            small, 1.0, denom
+        )
+        cross_pt = pt[i] + tproj[:, None] * dr[i]
+        proj_pt = jnp.where(small[:, None], mid, cross_pt)
+        dd = dr - dr[i]
+        dd_norm = jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=1), 1e-300))
+        proj_dr = dd / dd_norm[:, None]
+        pvalid = (jnp.arange(NL) < i) & lvalid & ~same_dir
+
+        opt = jnp.stack([-dr[i, 1], dr[i, 0]])
+        res2, fail2 = _lp2(proj_pt, proj_dr, pvalid, radius, opt, True)
+        ok = fail2 == NL
+        new_result = jnp.where(active & ok, res2, result)
+        new_distance = jnp.where(
+            active,
+            _det(dr[i, 0], dr[i, 1], pt[i, 0] - new_result[0], pt[i, 1] - new_result[1]),
+            distance,
+        )
+        return new_result, new_distance
+
+    result, _ = jax.lax.fori_loop(0, NL, body, (result, jnp.asarray(0.0, result.dtype)))
+    return result
+
+
+def _orca_lines_one(i, pos, vel, radius, collab, neighbor_order, line_valid,
+                    dt, time_horizon):
+    """ORCA half-planes of agent i vs its (ordered) neighbors."""
+    j = neighbor_order                                   # [NL]
+    rel_pos = pos[j] - pos[i]                            # [NL, 2]
+    rel_vel = vel[i] - vel[j]
+    dist_sq = jnp.sum(rel_pos * rel_pos, axis=1)
+    comb_r = radius[i] + radius[j]
+    comb_r_sq = comb_r * comb_r
+
+    inv_th = 1.0 / time_horizon
+    inv_dt = 1.0 / dt
+
+    # --- no-collision branch ---
+    w = rel_vel - inv_th * rel_pos
+    w_len_sq = jnp.sum(w * w, axis=1)
+    dot1 = jnp.sum(w * rel_pos, axis=1)
+    on_cutoff = (dot1 < 0.0) & (dot1 * dot1 > comb_r_sq * w_len_sq)
+
+    w_len = jnp.sqrt(jnp.maximum(w_len_sq, 1e-300))
+    unit_w = w / w_len[:, None]
+    dir_cut = jnp.stack([unit_w[:, 1], -unit_w[:, 0]], axis=1)
+    u_cut = (comb_r * inv_th - w_len)[:, None] * unit_w
+
+    leg = jnp.sqrt(jnp.maximum(dist_sq - comb_r_sq, 0.0))
+    left = _det(rel_pos[:, 0], rel_pos[:, 1], w[:, 0], w[:, 1]) > 0.0
+    safe_dist_sq = jnp.maximum(dist_sq, 1e-300)
+    dir_left = jnp.stack(
+        [rel_pos[:, 0] * leg - rel_pos[:, 1] * comb_r,
+         rel_pos[:, 0] * comb_r + rel_pos[:, 1] * leg], axis=1
+    ) / safe_dist_sq[:, None]
+    dir_right = -jnp.stack(
+        [rel_pos[:, 0] * leg + rel_pos[:, 1] * comb_r,
+         -rel_pos[:, 0] * comb_r + rel_pos[:, 1] * leg], axis=1
+    ) / safe_dist_sq[:, None]
+    dir_leg = jnp.where(left[:, None], dir_left, dir_right)
+    dot2 = jnp.sum(rel_vel * dir_leg, axis=1)
+    u_leg = dot2[:, None] * dir_leg - rel_vel
+
+    dir_nc = jnp.where(on_cutoff[:, None], dir_cut, dir_leg)
+    u_nc = jnp.where(on_cutoff[:, None], u_cut, u_leg)
+
+    # --- collision branch (cut-off at one time step) ---
+    w_c = rel_vel - inv_dt * rel_pos
+    w_c_len = jnp.sqrt(jnp.maximum(jnp.sum(w_c * w_c, axis=1), 1e-300))
+    unit_w_c = w_c / w_c_len[:, None]
+    dir_col = jnp.stack([unit_w_c[:, 1], -unit_w_c[:, 0]], axis=1)
+    u_col = (comb_r * inv_dt - w_c_len)[:, None] * unit_w_c
+
+    colliding = dist_sq <= comb_r_sq
+    direction = jnp.where(colliding[:, None], dir_col, dir_nc)
+    u = jnp.where(colliding[:, None], u_col, u_nc)
+
+    point = vel[i] + collab[i] * u
+    return point, direction, line_valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_neighbors",))
+def orca_velocities(pos, vel, pref_vel, radius, max_speed, collab_coeff,
+                    valid, dt, neighbor_dist, time_horizon,
+                    max_neighbors=None):
+    """ORCA velocities for all agents from one world snapshot.
+
+    Args:
+        pos, vel, pref_vel: [A, 2]; radius, max_speed, collab_coeff,
+        valid: [A].  dt/neighbor_dist/time_horizon: scalars.
+        max_neighbors: static cap on neighbors (None -> A-1).
+
+    Returns:
+        new_vel [A, 2]; rows of invalid agents are zero.
+    """
+    A = pos.shape[0]
+    NL = A - 1
+    if max_neighbors is None:
+        max_neighbors = NL
+    dtype = pos.dtype
+
+    if NL == 0:
+        # Single agent: no constraints, LP2 degenerates to the disc clip.
+        speed_sq = jnp.sum(pref_vel * pref_vel, axis=1)
+        scale = jnp.where(
+            speed_sq > max_speed**2,
+            max_speed / jnp.sqrt(jnp.maximum(speed_sq, 1e-300)),
+            1.0,
+        )
+        return jnp.where(valid[:, None], pref_vel * scale[:, None], 0.0).astype(dtype)
+
+    def one(i):
+        rel = pos - pos[i]
+        dist_sq = jnp.sum(rel * rel, axis=1)
+        cand = (jnp.arange(A) != i) & valid & (
+            dist_sq < neighbor_dist * neighbor_dist
+        )
+        key = jnp.where(cand, dist_sq, jnp.inf)
+        order = jnp.argsort(key)[:NL]                    # ascending distance
+        line_valid = cand[order] & (jnp.arange(NL) < max_neighbors)
+
+        pt, dr, lvalid = _orca_lines_one(
+            i, pos, vel, radius, collab_coeff, order, line_valid, dt, time_horizon
+        )
+        result, fail_idx = _lp2(pt, dr, lvalid, max_speed[i], pref_vel[i], False)
+        needs_lp3 = fail_idx < NL
+        return pt, dr, lvalid, result, fail_idx, needs_lp3
+
+    pt, dr, lvalid, result, fail_idx, needs_lp3 = jax.vmap(one)(jnp.arange(A))
+
+    # LP3 is rare (dense crowds); skip the whole pass when nobody failed.
+    def run_lp3(args):
+        pt, dr, lvalid, result, fail_idx = args
+        return jax.vmap(
+            lambda p, d, lv, bl, r, res: jnp.where(
+                bl < NL, _lp3(p, d, lv, bl, r, res), res
+            )
+        )(pt, dr, lvalid, fail_idx, max_speed, result)
+
+    result = jax.lax.cond(
+        jnp.any(needs_lp3),
+        run_lp3,
+        lambda args: args[3],
+        (pt, dr, lvalid, result, fail_idx),
+    )
+    return jnp.where(valid[:, None], result, jnp.zeros_like(result)).astype(dtype)

@@ -1,0 +1,70 @@
+"""RVO internal policy: batched ORCA + the reference wrapper semantics.
+
+The reference's ``RVOPolicy`` gives *each* RVO agent a private full-world
+``PyRVOSimulator``, re-mirrors every env agent into it each step, runs one
+``doStep`` and reads back only the ego agent's new position
+(envs/policies/RVOPolicy.py:50-122).  Because every private sim sees the
+same mirrored snapshot and an agent's ORCA velocity depends only on its own
+collaboration coefficient, the N private worlds collapse to ONE batched
+ORCA computation with a per-agent coefficient — an O(N) win before any
+kernel work.
+
+Wrapper semantics replicated exactly:
+* pref velocity points at the goal at pref_speed (:66-67),
+* mirrored radius inflated by 1.05 (:71), maxSpeed = pref_speed (:70),
+* new heading from the ORCA displacement, pi/6 turn limit with
+  stop-and-turn (:96-111).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gym_collision_avoidance_tpu.core import maths
+from gym_collision_avoidance_tpu.ops import orca
+from gym_collision_avoidance_tpu.policies import registry
+
+MAX_DELTA_HEADING = jnp.pi / 6  # RVOPolicy.py:20
+
+
+def rvo_kernel(state, cfg, params):
+    del params
+    dtype = state.pos.dtype
+    A = state.pos.shape[0]
+
+    goal_vec = state.goal - state.pos
+    goal_dist = maths.norm2(goal_vec)
+    pref_vel = state.pref_speed[:, None] * goal_vec / jnp.maximum(goal_dist, 1e-30)[:, None]
+
+    collab = jnp.full((A,), abs(cfg.rvo_collab_coeff), dtype)
+
+    new_vel = orca.orca_velocities(
+        state.pos,
+        state.vel,
+        pref_vel,
+        (1.0 + 5e-2) * state.radius,
+        state.pref_speed,
+        collab,
+        state.valid,
+        jnp.asarray(cfg.dt, dtype),
+        jnp.asarray(cfg.sensing_horizon, dtype),
+        jnp.asarray(cfg.rvo_time_horizon, dtype),
+    )
+
+    # Position delta -> (speed, delta-heading) with stop-and-turn clamp
+    # (RVOPolicy.py:96-111).
+    delta_pos = new_vel * cfg.dt
+    new_heading = jnp.mod(jnp.arctan2(delta_pos[:, 1], delta_pos[:, 0]), 2 * jnp.pi)
+    delta_heading = maths.wrap(new_heading - state.heading)
+    speed = maths.norm2(delta_pos) / cfg.dt
+
+    exceeded = jnp.abs(delta_heading) > MAX_DELTA_HEADING
+    delta_heading = jnp.where(
+        exceeded, jnp.sign(delta_heading) * MAX_DELTA_HEADING, delta_heading
+    )
+    speed = jnp.where(exceeded, 0.0, speed)
+    return jnp.stack([speed, delta_heading], axis=-1)
+
+
+registry.register_internal(registry.RVO, rvo_kernel)

@@ -1,0 +1,197 @@
+"""Map, laserscan, and occupancy-grid parity vs the reference."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gym_collision_avoidance_tpu import EnvConfig
+from gym_collision_avoidance_tpu.core.state import init_state
+from gym_collision_avoidance_tpu.maps import grid as map_grid
+from gym_collision_avoidance_tpu.obs import sensors
+
+from tests.oracle import refsim
+
+MAP_PNG = "/root/reference/gym_collision_avoidance/envs/world_maps/002.png"
+
+
+# The world_maps PNGs are 100x100; use a 10x10 m / 0.1 m map so neither side
+# resizes (the reference's resize path calls the long-removed
+# scipy.misc.imresize and would crash — a latent reference bug).
+def _cfg():
+    return EnvConfig(dtype="float64", use_static_map=True,
+                     map_x_width=10.0, map_y_width=10.0)
+
+
+def _ref_map(map_filename=None):
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.Map import Map
+
+    return Map(10, 10, 0.1, map_filename)
+
+
+def _ref_agents(pos, radius, heading=None):
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.agent import Agent
+    from gym_collision_avoidance.envs import test_cases as tc
+
+    agents = []
+    for i in range(pos.shape[0]):
+        h = None if heading is None else heading[i]
+        a = Agent(pos[i, 0], pos[i, 1], pos[i, 0] + 5, pos[i, 1] + 5,
+                  radius[i], 1.0, h, tc.policy_dict["noncoop"],
+                  tc.dynamics_dict["unicycle"], [], i)
+        agents.append(a)
+    return agents
+
+
+def test_static_map_load_matches_reference():
+    ref = _ref_map(MAP_PNG)
+    ours = map_grid.load_static_map(_cfg(), MAP_PNG)
+    assert ours.shape == ref.static_map.shape
+    np.testing.assert_array_equal(ours, ref.static_map)
+    assert ours.any() and not ours.all()
+
+
+def test_world_to_map_and_stamping_match():
+    cfg = _cfg()
+    ref_map = _ref_map(MAP_PNG)
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(-6.5, 6.5, (6, 2))  # includes off-map agents
+    radius = rng.uniform(0.2, 0.7, 6)
+
+    agents = _ref_agents(pos, radius)
+    ref_map.add_agents_to_map(agents)
+
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    ours = map_grid.stamp_agents(
+        static, jnp.asarray(pos), jnp.asarray(radius), jnp.ones(6, bool), cfg
+    )
+    np.testing.assert_array_equal(np.asarray(ours), ref_map.map.astype(bool))
+
+    # scalar transform parity
+    for p in pos:
+        (gi, gj), in_map = ref_map.world_coordinates_to_map_indices(p)
+        i, j, im = map_grid.world_to_map(jnp.asarray(p), cfg, static.shape)
+        assert (int(i), int(j), bool(im)) == (gi, gj, in_map)
+
+
+def test_wall_collisions_match():
+    cfg = _cfg()
+    ref_map = _ref_map(MAP_PNG)
+    ref_map.map = ref_map.static_map.copy()
+    rng = np.random.RandomState(1)
+    pos = rng.uniform(-5.5, 5.5, (20, 2))
+    # map 002's only obstacle is a ~1 m block at the origin: park some
+    # agents on and near it so both hit and miss cases occur.
+    pos[:4] = [[0.0, 0.0], [0.6, 0.0], [-0.8, 0.3], [2.0, 2.0]]
+    radius = rng.uniform(0.2, 0.7, 20)
+
+    ref_hits = []
+    for p, r in zip(pos, radius):
+        (pi, pj), in_map = ref_map.world_coordinates_to_map_indices(p)
+        mask = ref_map.get_agent_map_indices([pi, pj], r)
+        ref_hits.append(bool(in_map and np.any(ref_map.static_map[mask])))
+
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    ours = map_grid.wall_collisions(
+        static, jnp.asarray(pos), jnp.asarray(radius), jnp.ones(20, bool), cfg
+    )
+    np.testing.assert_array_equal(np.asarray(ours), np.array(ref_hits))
+    assert any(ref_hits) and not all(ref_hits)
+
+
+def test_laserscan_matches_reference():
+    refsim.import_reference()
+    from gym_collision_avoidance.envs import Config as RefConfig
+    from gym_collision_avoidance.envs.sensors.LaserScanSensor import LaserScanSensor
+
+    cfg = _cfg()
+    ref_map = _ref_map(MAP_PNG)
+    rng = np.random.RandomState(2)
+    pos = rng.uniform(-4, 4, (4, 2))
+    pos[0] = [0.0, -2.0]  # looking at the central obstacle
+    radius = rng.uniform(0.2, 0.5, 4)
+    heading = rng.uniform(-np.pi, np.pi, 4)
+
+    agents = _ref_agents(pos, radius, heading)
+    for a, h in zip(agents, heading):
+        a.heading_global_frame = h
+    ref_map.add_agents_to_map(agents)
+
+    orig = RefConfig.USE_STATIC_MAP
+    RefConfig.USE_STATIC_MAP = True
+    try:
+        ref_scans = []
+        for i in range(4):
+            s = LaserScanSensor()
+            ref_scans.append(s.sense(agents, i, ref_map)[0])  # first row
+    finally:
+        RefConfig.USE_STATIC_MAP = orig
+
+    state = init_state(cfg, pos=pos, goal=pos + 5, radius=radius,
+                       pref_speed=np.ones(4), heading=heading)
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    dynamic = map_grid.stamp_agents(static, state.pos, state.radius, state.valid, cfg)
+    ours = np.asarray(sensors.laserscan(state, cfg, dynamic))
+    np.testing.assert_allclose(ours, np.stack(ref_scans), atol=1e-9)
+    assert (np.stack(ref_scans) < 6.0).any(), "scan should see something"
+
+
+def test_occupancy_grid_matches_reference():
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.sensors.OccupancyGridSensor import (
+        OccupancyGridSensor,
+    )
+    from gym_collision_avoidance.envs import Config as RefConfig
+    import gym_collision_avoidance.envs.sensors.OccupancyGridSensor as og_mod
+
+    og_mod.Config = RefConfig  # module lacks the Config import (latent ref bug)
+
+    cfg = _cfg()
+    ref_map = _ref_map(MAP_PNG)
+    rng = np.random.RandomState(3)
+    pos = rng.uniform(-5.5, 5.5, (5, 2))
+    radius = rng.uniform(0.2, 0.5, 5)
+    agents = _ref_agents(pos, radius)
+    ref_map.add_agents_to_map(agents)
+
+    orig = RefConfig.USE_STATIC_MAP
+    RefConfig.USE_STATIC_MAP = True
+    try:
+        ref_ogs = [OccupancyGridSensor().sense(agents, i, ref_map) for i in range(5)]
+    finally:
+        RefConfig.USE_STATIC_MAP = orig
+
+    state = init_state(cfg, pos=pos, goal=pos + 5, radius=radius,
+                       pref_speed=np.ones(5))
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    dynamic = map_grid.stamp_agents(static, state.pos, state.radius, state.valid, cfg)
+    ours = np.asarray(sensors.occupancy_grid(state, cfg, dynamic))
+    np.testing.assert_array_equal(ours, np.stack(ref_ogs).astype(bool))
+
+
+def test_env_step_with_laserscan_and_walls():
+    # End-to-end: laserscan obs + wall collision latching inside env_step.
+    cfg = _cfg()
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    # agent 0 heads straight into a wall region; agent 1 roams free space
+    state = init_state(cfg, pos=np.array([[-2.0, -2.0], [-4.0, -4.0]]),
+                       goal=np.array([[2.0, 2.0], [-4.0, 2.0]]),
+                       radius=np.array([0.3, 0.3]),
+                       pref_speed=np.array([1.0, 1.0]))
+    from gym_collision_avoidance_tpu.env.step import env_reset, env_step
+
+    sensors_t = ("other_agents_states", "laserscan")
+    obs_keys = ("dist_to_goal", "laserscan")
+    state, obs = env_reset(state, cfg, sensors_t, obs_keys, static)
+    assert obs["laserscan"].shape == (2, 3, 512)
+    hit_wall = False
+    for _ in range(60):
+        state, obs, rew, go, info = env_step(
+            state, None, cfg, None, (2,), sensors_t, obs_keys, static
+        )
+        if bool(state.in_collision[0]):
+            hit_wall = True
+            break
+    assert hit_wall, "agent 0 should hit the wall"
+    assert not bool(state.in_collision[1])

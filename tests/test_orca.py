@@ -1,0 +1,119 @@
+"""ORCA: JAX kernel vs the C++ oracle, plus env-level RVO behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gym_collision_avoidance_tpu import EnvConfig
+from gym_collision_avoidance_tpu.harness import runner
+from gym_collision_avoidance_tpu.ops import orca
+from gym_collision_avoidance_tpu.scenarios import presets
+from gym_collision_avoidance_tpu.utils import native_build
+
+
+@pytest.fixture(scope="module")
+def cpp_orca():
+    return native_build.load_orca()
+
+
+def _random_world(rng, A, crowded=False):
+    span = 2.0 if crowded else 8.0
+    pos = rng.uniform(-span, span, (A, 2))
+    vel = rng.uniform(-1.0, 1.0, (A, 2))
+    goal = rng.uniform(-span, span, (A, 2))
+    radius = rng.uniform(0.2, 0.6, A)
+    pref_speed = rng.uniform(0.5, 1.5, A)
+    d = goal - pos
+    pref_vel = pref_speed[:, None] * d / np.maximum(
+        np.linalg.norm(d, axis=1, keepdims=True), 1e-12
+    )
+    return pos, vel, pref_vel, radius, pref_speed
+
+
+@pytest.mark.parametrize("A,crowded", [(2, False), (4, False), (8, False),
+                                       (4, True), (10, True), (20, True)])
+def test_orca_matches_cpp_oracle(cpp_orca, A, crowded):
+    rng = np.random.RandomState(17 + A + int(crowded))
+    dt, horizon = 0.2, 5.0
+    for trial in range(10):
+        pos, vel, pref_vel, radius, max_speed = _random_world(rng, A, crowded)
+        collab = np.full(A, 0.5)
+        ref = cpp_orca(pos, vel, pref_vel, radius, max_speed, collab,
+                       dt, 1e6, A, horizon)
+        ours = np.asarray(
+            orca.orca_velocities(
+                jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(pref_vel),
+                jnp.asarray(radius), jnp.asarray(max_speed), jnp.asarray(collab),
+                jnp.ones(A, bool), dt, 1e6, horizon,
+            )
+        )
+        np.testing.assert_allclose(
+            ours, ref, atol=1e-9,
+            err_msg=f"A={A} crowded={crowded} trial={trial}",
+        )
+
+
+def test_orca_collab_coeff_zero_is_egoistic(cpp_orca):
+    # coeff 0 => the agent assumes no responsibility: with a head-on
+    # symmetric pair, the coeff-0 agent keeps (nearly) its preferred
+    # velocity while the 0.5 agent deviates.
+    pos = np.array([[-2.0, 0.0], [2.0, 0.0]])
+    vel = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    pref_vel = vel.copy()
+    radius = np.array([0.4, 0.4])
+    max_speed = np.array([1.0, 1.0])
+    ours_half = np.asarray(orca.orca_velocities(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(pref_vel),
+        jnp.asarray(radius), jnp.asarray(max_speed), jnp.asarray([0.5, 0.5]),
+        jnp.ones(2, bool), 0.2, 1e6, 5.0))
+    ours_ego = np.asarray(orca.orca_velocities(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(pref_vel),
+        jnp.asarray(radius), jnp.asarray(max_speed), jnp.asarray([0.0, 0.5]),
+        jnp.ones(2, bool), 0.2, 1e6, 5.0))
+    dev_half = np.linalg.norm(ours_half[0] - pref_vel[0])
+    dev_ego = np.linalg.norm(ours_ego[0] - pref_vel[0])
+    assert dev_ego < dev_half
+    ref = cpp_orca(pos, vel, pref_vel, radius, max_speed,
+                   np.array([0.0, 0.5]), 0.2, 1e6, 2, 5.0)
+    np.testing.assert_allclose(ours_ego, ref, atol=1e-9)
+
+
+def test_rvo_env_rollout_is_collision_free():
+    # NOTE: a perfectly symmetric antipodal circle deadlocks under ORCA
+    # (agents creep radially at ~dist/tau and never meet) — that matches
+    # RVO2 semantics.  Jitter the circle so symmetry breaks and agents
+    # sidestep each other.
+    cfg = EnvConfig.evaluate(dtype="float64")
+    sc = presets.circle_scenario(6, radius=4.0, agent_radius=0.3, policy="RVO")
+    rng = np.random.RandomState(5)
+    sc.pos = sc.pos + rng.uniform(-0.3, 0.3, sc.pos.shape)
+    sc.heading = None
+    state = sc.to_state(cfg)
+    from gym_collision_avoidance_tpu.env.step import env_reset
+
+    state, _ = env_reset(state, cfg)
+    final, traj = runner.rollout(state, cfg, 600, active_policies=sc.active_policies)
+    stats = runner.episode_stats(traj, cfg)
+    assert not np.any(np.asarray(stats["collision"])), "RVO agents collided"
+    assert bool(stats["all_at_goal"]), "RVO agents failed to reach goals"
+
+
+def test_rvo_wrapper_stop_and_turn():
+    # An RVO agent with its goal directly behind must stop and rotate
+    # in-place at the pi/6 turn limit (RVOPolicy.py:108-111).
+    import jax.numpy as jnp
+    from gym_collision_avoidance_tpu.policies import rvo as rvo_policy
+    from gym_collision_avoidance_tpu.core.state import init_state
+
+    cfg = EnvConfig(dtype="float64")
+    state = init_state(
+        cfg,
+        pos=np.array([[0.0, 0.0], [50.0, 50.0]]),
+        goal=np.array([[-5.0, 0.0], [55.0, 50.0]]),
+        radius=np.array([0.3, 0.3]),
+        pref_speed=np.array([1.0, 1.0]),
+        heading=np.array([0.0, 0.0]),
+    )
+    action = np.asarray(rvo_policy.rvo_kernel(state, cfg, None))
+    assert action[0, 0] == 0.0
+    np.testing.assert_allclose(abs(action[0, 1]), np.pi / 6, atol=1e-12)

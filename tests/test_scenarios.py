@@ -1,0 +1,101 @@
+"""Scenario layer: RNG-stream parity with the reference generators and
+suite loading."""
+
+import numpy as np
+import pytest
+
+from gym_collision_avoidance_tpu.scenarios import random_cases, suites
+
+from tests.oracle import refsim
+
+
+def test_random_generator_matches_reference_rng_stream():
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.policies.CADRL.scripts.multi import (
+        gen_rand_testcases as ref_gen,
+    )
+
+    for seed in range(8):
+        np.random.seed(seed)
+        ref_case = ref_gen.generate_rand_test_case_multi(4, 4.0, [0.5, 2.0], [0.2, 0.8])
+        np.random.seed(seed)
+        our_case = random_cases.generate_rand_test_case_multi(4, 4.0, [0.5, 2.0], [0.2, 0.8])
+        np.testing.assert_allclose(our_case, ref_case, atol=0,
+                                   err_msg=f"seed {seed}")
+
+
+def test_random_generator_matches_many_agent_counts():
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.policies.CADRL.scripts.multi import (
+        gen_rand_testcases as ref_gen,
+    )
+
+    for A in [2, 3, 6, 10]:
+        np.random.seed(100 + A)
+        ref_case = ref_gen.generate_rand_test_case_multi(A, 6.0, [0.5, 2.0], [0.2, 0.8])
+        np.random.seed(100 + A)
+        our_case = random_cases.generate_rand_test_case_multi(A, 6.0, [0.5, 2.0], [0.2, 0.8])
+        np.testing.assert_allclose(our_case, ref_case, atol=0)
+
+
+def test_full_test_suite_pickles_load():
+    for A in [2, 3, 4]:
+        cases = suites.load_full_test_suite(A)
+        assert len(cases) == 500
+        assert cases[0].shape == (A, 6)
+        sc = suites.from_cadrl_case(cases[0], policy="noncoop")
+        assert sc.num_agents == A
+
+
+def test_preset_suites_match_reference():
+    refsim.import_reference()
+    from gym_collision_avoidance.envs import test_cases as ref_tc
+
+    for A in [1, 2, 3, 4, 5, 6, 10, 20]:
+        ref = ref_tc.preset_testCases(A, full_test_suite=False)
+        ours = suites.preset_test_cases(A, full_test_suite=False)
+        assert len(ref) == len(ours), f"A={A}"
+        for r, o in zip(ref, ours):
+            np.testing.assert_allclose(o, r, atol=0)
+
+
+def test_formation_goals_match_reference_shuffle():
+    # Same np.random stream -> same slot shuffle as the reference's
+    # formation() (test_cases.py:478-486).
+    for letter in ["C", "A", "D", "R", "L"]:
+        np.random.seed(3)
+        inds = np.arange(6)
+        np.random.shuffle(inds)
+        expected = suites.FORMATION_LETTERS[letter][inds]
+        np.random.seed(3)
+        goals = suites.formation_goals(letter)
+        np.testing.assert_allclose(goals, expected, atol=0)
+
+
+def test_random_scenario_roundtrip():
+    rng = np.random.RandomState(0)
+    sc = random_cases.random_scenario(
+        num_agents=None,
+        side_length=[
+            {"num_agents": [0, 5], "side_length": [4, 5]},
+            {"num_agents": [5, np.inf], "side_length": [6, 8]},
+        ],
+        policies_arg=["noncoop", "static"],
+        policy_distr=[0.5, 0.5],
+        policy_to_ensure="noncoop",
+        rng=rng,
+    )
+    assert 2 <= sc.num_agents <= 4
+    from gym_collision_avoidance_tpu.policies import registry as P
+
+    assert P.NONCOOP in sc.policy_id
+    from gym_collision_avoidance_tpu import EnvConfig
+
+    state = sc.to_state(EnvConfig(dtype="float64"))
+    assert state.pos.shape == (sc.num_agents, 2)
+
+
+def test_scenario_pool_shape():
+    pool = random_cases.scenario_pool(16, 4, seed=1)
+    assert pool.shape == (16, 4, 6)
+    assert np.isfinite(pool).all()
