@@ -1,0 +1,108 @@
+"""Gym API front end, obs wrappers, and in-graph auto-reset."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gym_collision_avoidance_tpu import EnvConfig
+from gym_collision_avoidance_tpu.env import autoreset
+from gym_collision_avoidance_tpu.env.gymapi import CollisionAvoidanceEnv
+from gym_collision_avoidance_tpu.obs.wrappers import ObsLayout
+from gym_collision_avoidance_tpu.policies import registry as P
+from gym_collision_avoidance_tpu.scenarios import presets, random_cases
+
+
+def test_gym_api_roundtrip():
+    env = CollisionAvoidanceEnv(cfg=EnvConfig.evaluate(dtype="float32"))
+    env.set_scenario(presets.two_agents_swap())
+    obs, info = env.reset()
+    assert set(obs) == {0, 1}
+    assert "dist_to_goal" in obs[0]
+    terminated = False
+    steps = 0
+    while not terminated and steps < 200:
+        obs, rew, terminated, truncated, info = env.step(None)
+        steps += 1
+    assert terminated
+    assert rew.shape == (2,)
+    views = env.agents
+    assert views[0].in_collision or views[0].is_at_goal
+
+
+def test_gym_api_external_actions_dict():
+    env = CollisionAvoidanceEnv(cfg=EnvConfig(dtype="float32"))
+    sc = presets.two_agents_swap()
+    sc.policy_id = np.array([P.LEARNING, P.NONCOOP])
+    env.set_scenario(sc)
+    env.reset()
+    obs, rew, term, trunc, info = env.step({0: [1.0, 0.5]})
+    assert info["which_agents_learning"][0]
+    assert not info["which_agents_learning"][1]
+
+
+def test_obs_layout_roundtrip():
+    env = CollisionAvoidanceEnv(cfg=EnvConfig.evaluate(dtype="float32"))
+    env.set_scenario(presets.circle_scenario(4, radius=3.0))
+    env.reset()
+    from gym_collision_avoidance_tpu.env.step import env_reset
+
+    state = presets.circle_scenario(4, radius=3.0).to_state(env.cfg)
+    state, obs = env_reset(state, env.cfg)
+    layout = ObsLayout.from_obs(obs, list(obs))
+    arr = layout.to_array(obs)
+    assert arr.shape == (4, layout.agent_size)
+    flat = layout.to_flat(obs)
+    assert flat.shape == (4 * layout.agent_size,)
+    back = layout.to_dict(arr)
+    for k in obs:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(obs[k]))
+
+
+def test_autoreset_cycles_scenarios():
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate", max_time_ratio=1.2)
+    pool = random_cases.scenario_pool(6, 2, seed=0, side_length=3.0)
+    pool = jnp.asarray(pool, jnp.float32)
+    policy_id = np.full(2, P.NONCOOP, np.int32)
+    step = autoreset.make_autoreset_step(cfg, pool, policy_id)
+
+    state = autoreset.state_from_case(cfg, pool[0], policy_id)
+    from gym_collision_avoidance_tpu.env.step import env_reset
+
+    state, _ = env_reset(state, cfg)
+    counter = jnp.asarray(0, jnp.int32)
+    jit_step = jax.jit(step)
+    n_resets = 0
+    for _ in range(400):
+        state, counter, obs, rew, game_over = jit_step(state, counter)
+        if bool(game_over):
+            n_resets += 1
+    assert n_resets >= 2
+    assert int(counter) == n_resets
+    # state after reset corresponds to a fresh pool entry
+    assert not bool(jnp.any(state.in_collision)) or bool(jnp.any(state.valid))
+
+
+def test_autoreset_batched_vmap():
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate", max_time_ratio=1.2)
+    pool = jnp.asarray(random_cases.scenario_pool(8, 2, seed=3, side_length=3.0), jnp.float32)
+    policy_id = np.full(2, P.NONCOOP, np.int32)
+    step = autoreset.make_autoreset_step(cfg, pool, policy_id)
+
+    E = 5
+    states = jax.vmap(lambda i: autoreset.state_from_case(cfg, pool[i % 8], policy_id))(
+        jnp.arange(E)
+    )
+    counters = jnp.arange(E, dtype=jnp.int32)
+
+    @jax.jit
+    def run(states, counters):
+        def body(carry, _):
+            st, c = carry
+            st, c, obs, rew, go = jax.vmap(step)(st, c)
+            return (st, c), go
+
+        return jax.lax.scan(body, (states, counters), None, length=300)
+
+    (states, counters), gos = run(states, counters)
+    assert int(np.asarray(gos).sum()) >= E  # every env reset at least once
+    assert np.all(np.asarray(counters) > np.arange(E))

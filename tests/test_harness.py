@@ -1,0 +1,110 @@
+"""Experiment harness: batched test-suite evaluation + plotting."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gym_collision_avoidance_tpu import EnvConfig
+from gym_collision_avoidance_tpu.harness import experiments, registry, visualize
+from gym_collision_avoidance_tpu.scenarios import presets, suites
+
+
+def test_batched_episodes_stats_schema():
+    import numpy as np
+    cases = suites.preset_test_cases(2)[:3]
+    # a non-conflicting parallel-lanes case that must end all_at_goal
+    cases.append(np.array([[-3.0, 0.0, 3.0, 0.0, 1.0, 0.3],
+                           [-3.0, 2.0, 3.0, 2.0, 1.0, 0.3]]))
+    cfg = EnvConfig.evaluate(dtype="float64")
+    scenarios = [presets.from_cadrl_case(c, policy="noncoop") for c in cases]
+    stats = experiments.run_batched_episodes(scenarios, cfg)
+    assert len(stats) == 4
+    for s in stats:
+        assert set(s) >= {
+            "total_reward", "steps", "num_agents", "time_to_goal",
+            "total_time_to_goal", "extra_time_to_goal", "collision",
+            "all_at_goal", "any_stuck", "outcome",
+        }
+        assert s["num_agents"] == 2
+        assert s["outcome"] in ("collision", "all_at_goal", "stuck")
+    # head-on noncoop case collides; parallel-lanes case reaches goals
+    assert stats[0]["outcome"] == "collision"
+    assert stats[3]["outcome"] == "all_at_goal"
+
+
+def test_batched_stats_match_reference_run_episode():
+    """The batched stats must equal the reference's run_episode stats for
+    the same scenario (same schema AND same values)."""
+    from tests.oracle import refsim
+
+    case = suites.preset_test_cases(2)[2]  # offset crossing, reaches goals
+    refsim.import_reference()
+    from gym_collision_avoidance.envs import Config as RefConfig
+
+    # The oracle must terminate on "all done" like our evaluate done-mode.
+    orig_mode = RefConfig.EVALUATE_MODE
+    RefConfig.EVALUATE_MODE = True
+    env = refsim.make_env_from_case(case)
+
+    # manually replicate run_episode (env_utils.py:45-88) on the oracle
+    try:
+        total_reward = 0
+        step = 0
+        terminated = False
+        while not terminated and step < 500:
+            _obs, rew, terminated, _tr, _info = env.step(None)
+            total_reward += rew
+            step += 1
+        ref_time_to_goal = np.array([a.t for a in env.agents])
+        ref_extra = np.array(
+            [a.t - a.straight_line_time_to_reach_goal for a in env.agents]
+        )
+    finally:
+        RefConfig.EVALUATE_MODE = orig_mode
+
+    cfg = EnvConfig(dtype="float64", done_mode="evaluate")
+    sc = presets.from_cadrl_case(case, policy="noncoop")
+    stats = experiments.run_batched_episodes([sc], cfg)[0]
+    assert stats["steps"] == step
+    np.testing.assert_allclose(stats["time_to_goal"], ref_time_to_goal, atol=1e-6)
+    np.testing.assert_allclose(stats["extra_time_to_goal"], ref_extra, atol=1e-6)
+    np.testing.assert_allclose(stats["total_reward"], total_reward, atol=1e-5)
+
+
+def test_mini_full_test_suite_and_summary(tmp_path):
+    results = experiments.run_full_test_suite(
+        policies_to_test=("RVO", "GA3C-CADRL-10"),
+        num_agents_to_test=(2,),
+        num_test_cases=8,
+        out_dir=str(tmp_path),
+        record_pickle_files=True,
+    )
+    assert set(results) == {(2, "RVO"), (2, "GA3C-CADRL-10")}
+    for df in results.values():
+        assert len(df) == 8
+        assert "outcome" in df.columns
+    summary = experiments.summarize_suite(results)
+    assert len(summary) == 2
+    assert (summary["pct_success"] >= 0).all()
+    assert os.path.exists(tmp_path / "2_agents" / "stats" / "stats_RVO.p")
+
+
+def test_plot_and_animate(tmp_path):
+    cfg = EnvConfig.evaluate(dtype="float32")
+    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.3)
+    stats, traj = experiments.run_batched_episodes(
+        [sc], cfg, collect_trajectories=True, max_steps=64
+    )
+    png = visualize.plot_episode(
+        traj[:, 0], np.asarray(sc.radius), goals=sc.goal,
+        steps=stats[0]["steps"], dt=cfg.dt,
+        save_path=str(tmp_path / "000_test_4agents.png"),
+    )
+    assert os.path.getsize(png) > 10_000
+    gif = visualize.animate_episode(
+        traj[:, 0], np.asarray(sc.radius), goals=sc.goal,
+        steps=min(stats[0]["steps"], 30), dt=cfg.dt, period_steps=10,
+        save_path=str(tmp_path / "000_test_4agents.gif"),
+    )
+    assert os.path.getsize(gif) > 10_000
