@@ -412,6 +412,67 @@ def _update_states_others(others_s10, others_action, dt):
     return nxt
 
 
+def _cadrl_value_single(h, state, cfg, params):
+    """Value of agent h's *current* state (``find_next_action_and_value`` ->
+    ``find_states_values(agent_state, other_agents_state)``,
+    CADRLPolicy.py:43-48, nn_navigation_value_multi.py:2052-2071): encode
+    current s10 vs the <= 3 selected others (closest reordered to slot 0),
+    NN lookup with the [-0.25, 1] clip and the gamma upper bound."""
+    A = state.pos.shape[0]
+    s10 = jnp.concatenate(
+        [
+            state.pos[h], state.vel[h], state.heading[h][None],
+            state.pref_speed[h][None], state.goal[h], state.radius[h][None],
+            state.turning_dir[h][None],
+        ]
+    )
+    rel = state.pos - state.pos[h]
+    dist_centers = maths.norm2(rel)
+    d2other = dist_centers - state.radius[h] - state.radius
+    p_orth = rel @ state.ref_orth[h]
+    cand = (jnp.arange(A) != h) & state.valid & (dist_centers <= cfg.sensing_horizon)
+    key1 = jnp.where(cand, -(jnp.round(d2other * 100.0) / 100.0), -jnp.inf)
+    key2 = jnp.where(cand, p_orth, -jnp.inf)
+    order = jnp.lexsort((key2, key1))
+    if A < NUM_SLOTS + 1:
+        order = jnp.concatenate([jnp.full((NUM_SLOTS + 1 - A,), h), order])
+    k_slots = min(NUM_SLOTS, cfg.max_num_other_agents_observed)
+    window = order[-NUM_SLOTS:]
+    pos_in_window = jnp.arange(NUM_SLOTS)
+    eligible = cand[window] & (pos_in_window >= NUM_SLOTS - k_slots)
+    shift = jnp.sum(~eligible)
+    idx = (pos_in_window + shift) % NUM_SLOTS
+    window = window[idx]
+    present = eligible[idx]
+
+    o = window
+    others_s10 = jnp.concatenate(
+        [
+            state.pos[o], state.vel[o], state.heading[o][:, None],
+            state.pref_speed[o][:, None], state.goal[o],
+            state.radius[o][:, None], state.turning_dir[o][:, None],
+        ],
+        axis=-1,
+    )
+    # single-state encoder reorder: closest (from current pos) to slot 0
+    d_reorder = jnp.where(
+        present, jnp.linalg.norm(others_s10[:, 0:2] - s10[0:2], axis=1), jnp.inf
+    )
+    closest = jnp.argmin(d_reorder)
+    perm = jnp.arange(NUM_SLOTS).at[0].set(closest).at[closest].set(0)
+    state_nn = _encode(s10[None, :], others_s10[perm], present[perm])[0]
+    val = jnp.clip(cadrl_net.forward_raw(params, state_nn[None, :])[0], -0.25, 1.0)
+    return jnp.minimum(GAMMA ** (state_nn[0] / DT_NORMAL), val)
+
+
+def cadrl_state_values(state, cfg, params):
+    """[A] CADRL value of every agent's current state (for dataset
+    collection, cf. collect_regression_dataset.py:26-30)."""
+    p = params[PARAMS_KEY] if isinstance(params, dict) and PARAMS_KEY in params else params
+    A = state.pos.shape[0]
+    return jax.vmap(lambda h: _cadrl_value_single(h, state, cfg, p))(jnp.arange(A))
+
+
 def cadrl_kernel(state, cfg, params):
     if params is None or PARAMS_KEY not in params:
         raise ValueError(

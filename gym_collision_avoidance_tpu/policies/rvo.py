@@ -37,7 +37,23 @@ def rvo_kernel(state, cfg, params):
     goal_dist = maths.norm2(goal_vec)
     pref_vel = state.pref_speed[:, None] * goal_vec / jnp.maximum(goal_dist, 1e-30)[:, None]
 
-    collab = jnp.full((A,), abs(cfg.rvo_collab_coeff), dtype)
+    if cfg.rvo_collab_coeff >= 0:
+        collab = jnp.full((A,), cfg.rvo_collab_coeff, dtype)
+    else:
+        # Anti-collaborative mode (RVOPolicy.py:77-90 + envs/config.py:84-86):
+        # every RVO_ANTI_COLLAB_T seconds each agent re-chooses between
+        # egoistic (coeff 0, prob 1-|c|) and adversarial (coeff |c|).  The
+        # reference draws from the global numpy RNG at window boundaries; we
+        # derive the draw statelessly per (agent, time-window) from the
+        # env's PRNG key — same distribution, deterministic per key.
+        window = jnp.floor(state.t / cfg.rvo_anti_collab_t).astype(jnp.int32)
+        keys = jax.vmap(
+            lambda i, w: jax.random.fold_in(jax.random.fold_in(state.rng, i), w)
+        )(jnp.arange(A), window)
+        use_noncoop = jax.vmap(
+            lambda k: jax.random.bernoulli(k, 1.0 - abs(cfg.rvo_collab_coeff))
+        )(keys)
+        collab = jnp.where(use_noncoop, 0.0, abs(cfg.rvo_collab_coeff)).astype(dtype)
 
     new_vel = orca.orca_velocities(
         state.pos,

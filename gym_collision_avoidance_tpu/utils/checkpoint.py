@@ -1,0 +1,40 @@
+"""Env-state checkpoint/resume.
+
+The reference has no environment checkpointing at all — only frozen policy
+checkpoints (SURVEY.md §5.4).  Here the whole env (or env-batch) state is a
+pytree, so checkpoint/resume is a structural save/restore; useful for
+long evaluation campaigns and fault recovery.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from gym_collision_avoidance_tpu.core.state import EnvState
+
+
+def save_state(path: str, state: EnvState) -> str:
+    """Write the state pytree (any batch shape) to an .npz."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez(
+        path,
+        __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    return path
+
+
+def load_state(path: str, like: EnvState) -> EnvState:
+    """Restore a state saved by :func:`save_state`.
+
+    ``like`` provides the pytree structure (shapes/dtypes are taken from the
+    file and must match the original save).
+    """
+    with np.load(path) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(len([k for k in z.files if k.startswith("leaf_")]))]
+    treedef = jax.tree.structure(like)
+    return jax.tree.unflatten(treedef, leaves)
