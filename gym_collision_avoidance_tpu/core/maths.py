@@ -162,3 +162,28 @@ def compute_time_to_impact(
 
     out = jnp.where(inside & moving, ttc, jnp.inf)
     return jnp.where(already_colliding, 0.0, out)
+
+
+def find_nearest(array, value):
+    """For each value, the nearest entry of a 1-D array and its index
+    (envs/util.py:148-153)."""
+    value = jnp.atleast_1d(value)
+    diffs = jnp.abs(array[None, :] - value[:, None])
+    idx = jnp.argmin(diffs, axis=1)
+    return array[idx], idx
+
+
+def rad2deg(rad):
+    return rad * 180.0 / jnp.pi
+
+
+def l2normsq(x, y):
+    """(x0-y0)^2 + (x1-y1)^2 (envs/util.py:20-21)."""
+    return (x[..., 0] - y[..., 0]) ** 2 + (x[..., 1] - y[..., 1]) ** 2
+
+
+def yaw_to_quaternion(yaw):
+    """Planar yaw -> (qx, qy, qz, qw) (envs/util.py:175-188)."""
+    cy = jnp.cos(yaw * 0.5)
+    sy = jnp.sin(yaw * 0.5)
+    return jnp.zeros_like(yaw), jnp.zeros_like(yaw), sy, cy

@@ -204,3 +204,52 @@ def init_state(
         episode_step=jnp.asarray(0, jnp.int32),
         rng=rng,
     )
+
+
+def apply_external_states(
+    state: EnvState,
+    cfg: EnvConfig,
+    pos: jax.Array,
+    vel: jax.Array | None = None,
+    heading: jax.Array | None = None,
+    mask: jax.Array | None = None,
+) -> EnvState:
+    """Inject externally-measured states (real robot / Gazebo), mirroring
+    ``Agent.set_state`` (envs/agent.py:155-190): missing velocities are
+    interpolated from the position delta (zero on the first step), missing
+    headings come from the velocity direction; delta-heading is wrapped.
+
+    Args:
+        mask: [A] bool — which agents to update (default: agents with
+            EXTERNAL dynamics).
+    """
+    from gym_collision_avoidance_tpu.core import dynamics as dyn
+
+    dtype = state.pos.dtype
+    pos = jnp.asarray(pos, dtype)
+    if mask is None:
+        mask = state.dynamics_id == dyn.EXTERNAL
+
+    if vel is None:
+        interp = (pos - state.pos) / cfg.dt
+        vel = jnp.where((state.step_num == 0)[:, None], 0.0, interp)
+    else:
+        vel = jnp.asarray(vel, dtype)
+
+    if heading is None:
+        heading = jnp.arctan2(vel[:, 1], vel[:, 0])
+    else:
+        heading = jnp.asarray(heading, dtype)
+    delta_heading = maths.wrap(heading - state.heading)
+
+    speed = maths.norm2(vel)
+    sel = lambda new, old: jnp.where(
+        mask.reshape(mask.shape + (1,) * (old.ndim - 1)), new, old
+    )
+    return state.replace(
+        pos=sel(pos, state.pos),
+        vel=sel(vel, state.vel),
+        speed=sel(speed, state.speed),
+        heading=sel(heading, state.heading),
+        delta_heading=sel(delta_heading, state.delta_heading),
+    )

@@ -64,7 +64,30 @@ class CollisionAvoidanceEnv(_BASE):
                 np.array([0.0, -np.pi / 3], np.float32),
                 np.array([self.cfg.max_speed, np.pi / 3], np.float32),
             )
-            self.observation_space = gym.spaces.Dict({})
+            # per-key Box spaces mirroring STATE_INFO_DICT sizes/bounds
+            # (collision_avoidance_env.py:120-139)
+            K = self.cfg.max_num_other_agents_observed
+            shapes = {
+                "is_learning": ((1,), 0.0, 1.0),
+                "num_other_agents": ((1,), 0, np.inf),
+                "dist_to_goal": ((1,), -np.inf, np.inf),
+                "heading_ego_frame": ((1,), -np.pi, np.pi),
+                "pref_speed": ((1,), 0, np.inf),
+                "radius": ((1,), 0, np.inf),
+                "other_agent_states": ((7,), -np.inf, np.inf),
+                "other_agents_states": ((K, 7), -np.inf, np.inf),
+                "laserscan": (
+                    (self.cfg.laserscan_num_past, self.cfg.laserscan_length),
+                    0.0, 6.0,
+                ),
+            }
+            self.observation_space = gym.spaces.Dict(
+                {
+                    key: gym.spaces.Box(lo, hi, shape=shape, dtype=np.float32)
+                    for key, (shape, lo, hi) in shapes.items()
+                    if key in self.states_in_obs
+                }
+            )
 
     # -- reference-API surface ------------------------------------------
 
@@ -171,3 +194,17 @@ class CollisionAvoidanceEnv(_BASE):
                 self.radius = float(s.radius[i])
 
         return [_View(i) for i in range(s.pos.shape[0])]
+
+
+def register_gym_env(env_id: str = "CollisionAvoidanceTpu-v0"):
+    """Register with gymnasium (the reference registers
+    CollisionAvoidance-v0 via gym's registry)."""
+    if gym is None:  # pragma: no cover
+        raise ImportError("gymnasium not available")
+    from gymnasium.envs.registration import register
+
+    # The multiagent obs (dict keyed by agent index) predates gymnasium's
+    # passive checker conventions, exactly like the reference's env.
+    register(id=env_id, entry_point=CollisionAvoidanceEnv,
+             disable_env_checker=True)
+    return env_id

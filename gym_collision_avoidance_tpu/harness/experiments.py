@@ -206,3 +206,68 @@ def summarize_suite(results: Dict) -> "pandas.DataFrame":
             }
         )
     return pd.DataFrame(rows)
+
+
+def run_formations_campaign(
+    policy: str = "GA3C-CADRL-10",
+    letters: Sequence[str] = ("C", "A", "D", "R", "L"),
+    num_episodes: int = 5,
+    num_agents: int = 6,
+    cfg: Optional[EnvConfig] = None,
+    out_dir: Optional[str] = None,
+    animate: bool = False,
+    seed: int = 0,
+):
+    """Letter-formation demo (``experiments/src/run_cadrl_formations.py``):
+    agents persist across episodes — each episode they navigate from
+    wherever they are to the next letter's (shuffled) slots.
+
+    Returns list of (letter, stats, [T, A, 2] trajectory).
+    """
+    import numpy as np
+
+    from gym_collision_avoidance_tpu.harness import visualize
+
+    if cfg is None:
+        cfg = EnvConfig.evaluate(
+            dtype="float32", near_goal_threshold=0.2,
+            max_num_other_agents_observed=19,
+            agent_sorting_method="closest_last",
+        )
+    spec = hreg.POLICY_SPECS[policy]
+    pcfg = hreg.cfg_for_policy(policy, cfg)
+    params = hreg.load_params(*spec.needs_params) if spec.needs_params else None
+    rng = np.random.RandomState(seed)
+
+    # initial configuration: the 6-agent small-suite circle
+    current_pos = suites.preset_test_cases(num_agents)[0][:, 0:2]
+    out = []
+    for ep in range(num_episodes):
+        letter = letters[ep % len(letters)]
+        goals = suites.formation_goals(letter, num_agents, rng)
+        sc = presets.Scenario(
+            pos=current_pos.copy(), goal=goals,
+            pref_speed=np.ones(num_agents), radius=np.full(num_agents, 0.5),
+            policy_id=np.full(num_agents, spec.policy_id, np.int32),
+        )
+        stats, traj = run_batched_episodes(
+            [sc], pcfg, params, collect_trajectories=True
+        )
+        T = stats[0]["steps"]
+        positions = traj[:T, 0]
+        current_pos = positions[-1]
+        if out_dir is not None:
+            png = os.path.join(out_dir, f"{ep:03d}_{letter}_{num_agents}agents.png")
+            visualize.plot_episode(
+                positions, np.asarray(sc.radius), goals=goals, dt=pcfg.dt,
+                circles_along_traj=False, limits=[[-5, 6], [-2, 7]],
+                save_path=png,
+            )
+            if animate:
+                visualize.animate_episode(
+                    positions, np.asarray(sc.radius), goals=goals, dt=pcfg.dt,
+                    circles_along_traj=False, limits=[[-5, 6], [-2, 7]],
+                    save_path=png.replace(".png", ".gif"),
+                )
+        out.append((letter, stats[0], positions))
+    return out

@@ -60,7 +60,7 @@ def lstm_cell(params, x_t, c, h):
     return new_c, new_h
 
 
-def forward(params, x):
+def forward(params, x, max_seq_len: int | None = None):
     """Policy/value forward for a raw (unnormalized) obs batch.
 
     Args:
@@ -71,6 +71,13 @@ def forward(params, x):
            to the checkpoint width (crop_x semantics, network.py:24-35) by
            :func:`crop_to_width`.
 
+    Args (cont.):
+        max_seq_len: static cap on the LSTM scan length.  When the caller
+            knows at most N other agents can be visible (N = num agents in
+            the env minus 1), slots beyond N are all-zero and skipped by the
+            copy-through anyway, so truncating the scan is exact — and turns
+            a 19-step serial scan into an (A-1)-step one.
+
     Returns:
         (probs [B, 11], value [B])
     """
@@ -80,14 +87,25 @@ def forward(params, x):
 
     B = xn.shape[0]
     max_other = (width - 5) // 7
+    T = max_other if max_seq_len is None else min(max_other, max_seq_len)
     seq_len = xn[:, 0].astype(jnp.int32)                       # [B]
     host = xn[:, 1:5]                                          # [B, 4]
-    others = xn[:, 5:].reshape(B, max_other, 7)                # [B, T, 7]
+    others = xn[:, 5 : 5 + T * 7].reshape(B, T, 7)             # [B, T, 7]
+
+    # Precompute the input-side gate contributions for all timesteps in one
+    # big matmul (MXU-friendly); the scan then only does the small
+    # recurrent h-matmul per step.
+    k_x = params["lstm_kernel"][:7]                            # [7, 4H]
+    k_h = params["lstm_kernel"][7:]                            # [H, 4H]
+    x_gates = others @ k_x + params["lstm_bias"]               # [B, T, 4H]
 
     def scan_body(carry, inp):
         c, h = carry
-        x_t, t = inp
-        new_c, new_h = lstm_cell(params, x_t, c, h)
+        xg_t, t = inp
+        gates = xg_t + h @ k_h
+        i, j, f, o = jnp.split(gates, 4, axis=-1)
+        new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
         # dynamic_rnn copy-through for t >= sequence_length.
         keep = (t < seq_len)[:, None]
         c = jnp.where(keep, new_c, c)
@@ -98,8 +116,8 @@ def forward(params, x):
         jnp.zeros((B, HIDDEN), xn.dtype),
         jnp.zeros((B, HIDDEN), xn.dtype),
     )
-    ts = jnp.arange(max_other)
-    (c, h), _ = jax.lax.scan(scan_body, init, (others.swapaxes(0, 1), ts))
+    ts = jnp.arange(T)
+    (c, h), _ = jax.lax.scan(scan_body, init, (x_gates.swapaxes(0, 1), ts))
 
     z = jnp.concatenate([host, h], axis=-1)                    # [B, 68]
     z = jax.nn.relu(z @ params["layer1_kernel"] + params["layer1_bias"])

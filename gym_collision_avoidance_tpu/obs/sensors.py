@@ -43,37 +43,50 @@ def laserscan(state, cfg, dynamic_map):
     A = state.pos.shape[0]
     L = cfg.laserscan_length
     dtype = state.pos.dtype
+    H, W = dynamic_map.shape
     angles0 = jnp.linspace(LASER_MIN_ANGLE, LASER_MAX_ANGLE, L).astype(dtype)
     rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
     R = rsamples.shape[0]
 
     angles = angles0[None, :] + state.heading[:, None]          # [A, L]
-    dx = rsamples[None, None, :] * jnp.cos(angles)[:, :, None]  # [A, L, R]
-    dy = rsamples[None, None, :] * jnp.sin(angles)[:, :, None]
-    pts = state.pos[:, None, None, :] + jnp.stack([dx, dy], axis=-1)
+    cos_a = jnp.cos(angles)
+    sin_a = jnp.sin(angles)
 
-    ii, jj, in_map = map_grid.world_to_map(pts, cfg, dynamic_map.shape)
-    H, W = dynamic_map.shape
-    ii_c = jnp.clip(ii, 0, H - 1)
-    jj_c = jnp.clip(jj, 0, W - 1)
-    occupied = dynamic_map[ii_c, jj_c]
-
-    # Mask out the ego disc (LaserScanSensor.py:76-77): membership test of
-    # the sampled cell in the ego's own stamped circle.
+    # Ego-disc mask parameters (LaserScanSensor.py:76-77).
     gi, gj, ego_in_map = map_grid.world_to_map(state.pos, cfg, dynamic_map.shape)
-    r_cells = state.radius / cfg.map_grid_cell_size
-    in_ego = (
-        (jj_c - gj[:, None, None]) ** 2 + (ii_c - gi[:, None, None]) ** 2
-        < (r_cells**2)[:, None, None]
-    ) & ego_in_map[:, None, None]
+    r_cells_sq = (state.radius / cfg.map_grid_cell_size) ** 2
 
-    hits = occupied & ~in_ego & in_map                          # [A, L, R]
-    csum = jnp.cumsum(hits.astype(jnp.int32), axis=-1)
-    one = csum == 1
-    # last range-index with cumsum==1 wins (numpy fancy-assignment order).
-    idx = jnp.max(
-        jnp.where(one, jnp.arange(R)[None, None, :], -1), axis=-1
-    )                                                           # [A, L]
+    # March the range axis with a scan so memory stays [A, L] per step —
+    # materializing the full [batch, A, L, R] sample tensor OOMs at scale.
+    # The carry replicates the reference's cumsum==1 "first hit" rule: the
+    # LAST sample index whose running hit-count equals 1 wins (numpy
+    # fancy-assignment order).
+    def body(carry, inp):
+        cnt, idx = carry
+        r, k = inp
+        px = state.pos[:, None, 0] + r * cos_a                  # [A, L]
+        py = state.pos[:, None, 1] + r * sin_a
+        pts = jnp.stack([px, py], axis=-1)
+        ii, jj, in_map = map_grid.world_to_map(pts, cfg, dynamic_map.shape)
+        ii_c = jnp.clip(ii, 0, H - 1)
+        jj_c = jnp.clip(jj, 0, W - 1)
+        occupied = dynamic_map[ii_c, jj_c]
+        in_ego = (
+            (jj_c - gj[:, None]) ** 2 + (ii_c - gi[:, None]) ** 2
+            < r_cells_sq[:, None]
+        ) & ego_in_map[:, None]
+        hit = occupied & ~in_ego & in_map
+        cnt = cnt + hit.astype(jnp.int32)
+        idx = jnp.where(cnt == 1, k, idx)
+        return (cnt, idx), None
+
+    init = (
+        jnp.zeros((A, L), jnp.int32),
+        jnp.full((A, L), -1, jnp.int32),
+    )
+    (cnt, idx), _ = jax.lax.scan(
+        body, init, (rsamples, jnp.arange(R, dtype=jnp.int32))
+    )
     return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
 
 

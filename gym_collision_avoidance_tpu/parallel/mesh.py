@@ -116,11 +116,7 @@ def make_batched_rollout(
         return jax.lax.scan(body, states, None, length=num_steps)
 
     if mesh is not None:
+        # one sharding applies to every leaf (pytree-prefix semantics)
         sh = env_sharding(mesh)
-        run = jax.jit(run, in_shardings=(jax.tree.map(lambda _: sh, 0),))
-        # in_shardings as pytree prefix: a single sharding applies to all
-        # leaves.
-        run = jax.jit(run, in_shardings=sh, donate_argnums=(0,))
-    else:
-        run = jax.jit(run, donate_argnums=(0,))
-    return run
+        return jax.jit(run, in_shardings=sh, donate_argnums=(0,))
+    return jax.jit(run, donate_argnums=(0,))

@@ -43,7 +43,9 @@ def ga3c_cadrl_kernel(state, cfg, params):
         ],
         axis=-1,
     )
-    probs, _value = net.forward(p, vec)
+    # At most A-1 others can ever be visible: truncating the LSTM scan to
+    # that is exact (zero slots are copy-through skipped) and much faster.
+    probs, _value = net.forward(p, vec, max_seq_len=A - 1)
     idx = jnp.argmax(probs, axis=-1)
     table = jnp.asarray(registry.ga3c_actions_table(), state.pos.dtype)
     raw = table[idx]

@@ -204,3 +204,30 @@ def formation_scenario(current_pos: np.ndarray, letter: str,
         axis=1,
     )
     return from_cadrl_case(case, policy=policy)
+
+
+def yaml_scenario(agents_yaml) -> Scenario:
+    """YAML agent list -> Scenario (``yaml_to_agents``,
+    envs/test_cases.py:1021-1041): each item maps a name to
+    {start_x, start_y, goal_x, goal_y, policy, dynamics}; radius 0.5,
+    pref_speed 1.0, heading 0.0 are fixed."""
+    from gym_collision_avoidance_tpu.core import dynamics as dyn
+    from gym_collision_avoidance_tpu.policies import registry as policies
+
+    pos, goal, pids, dids = [], [], [], []
+    for agent_item in agents_yaml:
+        agent_dict = agent_item[list(agent_item.keys())[0]]
+        pos.append([agent_dict["start_x"], agent_dict["start_y"]])
+        goal.append([agent_dict["goal_x"], agent_dict["goal_y"]])
+        pids.append(policies.POLICY_NAMES[agent_dict["policy"]])
+        dids.append(dyn.DYNAMICS_NAMES[agent_dict["dynamics"]])
+    A = len(pos)
+    return Scenario(
+        pos=np.array(pos, np.float64),
+        goal=np.array(goal, np.float64),
+        pref_speed=np.ones(A),
+        radius=np.full(A, 0.5),
+        heading=np.zeros(A),
+        policy_id=np.array(pids, np.int32),
+        dynamics_id=np.array(dids, np.int32),
+    )

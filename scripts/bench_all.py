@@ -1,0 +1,136 @@
+"""Multi-config throughput benchmark (TPU or CPU).
+
+Reports env-steps/s for the BASELINE.json config families:
+  - 4-agent NonCoop (headline, same as bench.py)
+  - 4-agent ORCA/RVO (LP solve in the loop)
+  - 4-agent CADRL (47-action lookahead + value net)
+  - 4-agent GA3C-CADRL (LSTM policy)
+  - 20-agent GA3C-CADRL + laserscan + static map
+
+Usage: python scripts/bench_all.py [--envs 4096] [--steps 128] [--cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def bench_config(name, cfg, scenario, params, num_envs, num_steps,
+                 static_map=None, sensors=("other_agents_states",)):
+    import jax
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu.env.step import env_step
+
+    state = scenario.to_state(cfg)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), state)
+    active = scenario.active_policies
+
+    def body(states, _):
+        def one(s):
+            s2, _o, rew, go, _i = env_step(
+                s, None, cfg, params, active, sensors, ("dist_to_goal",), static_map
+            )
+            return s2, rew, go
+
+        states, rew, go = jax.vmap(one)(states)
+        return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)))
+
+    @jax.jit
+    def run(states):
+        return jax.lax.scan(body, states, None, length=num_steps)
+
+    states, _ = run(states)
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        states, _m = run(states)
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    rate = num_envs * num_steps * reps / dt
+    agent_rate = rate * scenario.num_agents
+    return {"config": name, "num_envs": num_envs,
+            "env_steps_per_sec": round(rate, 1),
+            "agent_steps_per_sec": round(agent_rate, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--configs", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.maps import grid as map_grid
+    from gym_collision_avoidance_tpu.models import cadrl as cadrl_net
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    results = []
+    E, S = args.envs, args.steps
+
+    def want(name):
+        return args.configs is None or name in args.configs
+
+    if want("noncoop4"):
+        cfg = EnvConfig(dtype="float32")
+        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5)
+        results.append(bench_config("noncoop4", cfg, sc, None, E, S))
+        print(json.dumps(results[-1]), flush=True)
+
+    if want("rvo4"):
+        cfg = EnvConfig(dtype="float32")
+        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5, policy="RVO")
+        results.append(bench_config("rvo4", cfg, sc, None, E, S))
+        print(json.dumps(results[-1]), flush=True)
+
+    if want("cadrl4"):
+        cfg = EnvConfig(dtype="float32")
+        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5, policy="CADRL")
+        params = {"cadrl": cadrl_net.load_params(dtype=jnp.float32)}
+        results.append(bench_config("cadrl4", cfg, sc, params, E // 4, S))
+        print(json.dumps(results[-1]), flush=True)
+
+    if want("ga3c4"):
+        cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                        agent_sorting_method="closest_last")
+        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5,
+                                     policy="GA3C_CADRL")
+        params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+        results.append(bench_config("ga3c4", cfg, sc, params, E // 4, S))
+        print(json.dumps(results[-1]), flush=True)
+
+    if want("ga3c20_laser"):
+        cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                        agent_sorting_method="closest_last", use_static_map=True,
+                        map_x_width=20.0, map_y_width=20.0)
+        sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
+                                     policy="GA3C_CADRL")
+        params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+        static = jnp.asarray(map_grid.load_static_map(cfg, None))
+        results.append(
+            bench_config("ga3c20_laser", cfg, sc, params, E // 16, S,
+                         static_map=static,
+                         sensors=("other_agents_states", "laserscan"))
+        )
+        print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"all": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,3 +106,53 @@ def test_autoreset_batched_vmap():
     (states, counters), gos = run(states, counters)
     assert int(np.asarray(gos).sum()) >= E  # every env reset at least once
     assert np.all(np.asarray(counters) > np.arange(E))
+
+
+def test_apply_external_states_matches_reference_set_state():
+    from tests.oracle import refsim
+    from gym_collision_avoidance_tpu.core import dynamics as dyn
+    from gym_collision_avoidance_tpu.core.state import apply_external_states
+
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.agent import Agent
+    from gym_collision_avoidance.envs import test_cases as tc
+
+    cfg = EnvConfig(dtype="float64")
+    a = Agent(0.0, 0.0, 5.0, 5.0, 0.3, 1.0, 0.0, tc.policy_dict["external"],
+              tc.dynamics_dict["external"], [], 0)
+    sc = presets.Scenario(
+        pos=np.array([[0.0, 0.0]]), goal=np.array([[5.0, 5.0]]),
+        pref_speed=np.array([1.0]), radius=np.array([0.3]),
+        heading=np.array([0.0]),
+        policy_id=np.array([P.EXTERNAL]),
+        dynamics_id=np.array([dyn.EXTERNAL]),
+    )
+    state = sc.to_state(cfg)
+
+    # first injection: vel interpolation suppressed on step 0
+    a.set_state(1.0, 0.5)
+    state = apply_external_states(state, cfg, np.array([[1.0, 0.5]]))
+    np.testing.assert_allclose(np.asarray(state.pos[0]), a.pos_global_frame)
+    np.testing.assert_allclose(np.asarray(state.vel[0]), a.vel_global_frame)
+
+    # later injection: velocity interpolated from position delta
+    a.step_num = 1
+    state = state.replace(step_num=jnp.ones(1, jnp.int32))
+    a.set_state(1.4, 0.8)
+    state = apply_external_states(state, cfg, np.array([[1.4, 0.8]]))
+    np.testing.assert_allclose(np.asarray(state.pos[0]), a.pos_global_frame)
+    np.testing.assert_allclose(np.asarray(state.vel[0]), a.vel_global_frame,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(state.heading[0]), a.heading_global_frame,
+                               atol=1e-12)
+
+
+def test_gym_registration():
+    import gymnasium
+    from gym_collision_avoidance_tpu.env.gymapi import register_gym_env
+
+    env_id = register_gym_env("CollisionAvoidanceTpu-test-v0")
+    env = gymnasium.make(env_id, cfg=EnvConfig.evaluate(dtype="float32"))
+    env.unwrapped.set_scenario(presets.two_agents_swap())
+    obs, info = env.reset()
+    assert 0 in obs

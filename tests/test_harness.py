@@ -108,3 +108,15 @@ def test_plot_and_animate(tmp_path):
         save_path=str(tmp_path / "000_test_4agents.gif"),
     )
     assert os.path.getsize(gif) > 10_000
+
+
+def test_formations_campaign(tmp_path):
+    from gym_collision_avoidance_tpu.harness import experiments
+
+    out = experiments.run_formations_campaign(
+        num_episodes=2, out_dir=str(tmp_path), seed=0
+    )
+    assert [letter for letter, _, _ in out] == ["C", "A"]
+    for _letter, stats, traj in out:
+        assert stats["outcome"] == "all_at_goal"
+    assert os.path.exists(tmp_path / "000_C_6agents.png")
