@@ -202,11 +202,18 @@ def _compute_rewards(state: EnvState, cfg: EnvConfig, static_map=None):
 
 
 def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
-                       states_in_obs: Sequence[str], static_map=None):
-    """Sensor pass + obs assembly (envs/collision_avoidance_env.py:555-575)."""
+                       states_in_obs: Sequence[str], static_map=None,
+                       static_cells=None):
+    """Sensor pass + obs assembly (envs/collision_avoidance_env.py:555-575).
+
+    ``static_cells`` ([S, 2] padded occupied-cell list) switches the
+    laserscan to the gather-free sparse path — identical outputs, far
+    faster on TPU (see obs.sensors.laserscan_sparse).
+    """
     sensed = {}
     needs_map = cfg.use_static_map and (
-        "laserscan" in sensors or "occupancy_grid" in sensors
+        ("laserscan" in sensors and static_cells is None)
+        or "occupancy_grid" in sensors
     )
     if needs_map:
         if static_map is None:
@@ -215,7 +222,10 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
             static_map, state.pos, state.radius, state.valid, cfg
         )
     if "laserscan" in sensors:
-        ranges = sensors_mod.laserscan(state, cfg, dynamic_map)
+        if static_cells is not None:
+            ranges = sensors_mod.laserscan_sparse(state, cfg, static_cells)
+        else:
+            ranges = sensors_mod.laserscan(state, cfg, dynamic_map)
         rolled = jnp.concatenate(
             [ranges[:, None, :], state.laserscan_history[:, :-1, :]], axis=1
         )
@@ -276,6 +286,7 @@ def env_step(
     sensors: Tuple[str, ...] = ("other_agents_states",),
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
     static_map=None,
+    static_cells=None,
 ):
     """Advance one env by one timestep.
 
@@ -306,7 +317,9 @@ def env_step(
 
     state = _take_actions(state, actions, cfg)
     state, rewards = _compute_rewards(state, cfg, static_map)
-    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs, static_map)
+    state, obs = _sense_and_observe(
+        state, cfg, sensors, states_in_obs, static_map, static_cells
+    )
     state, which_done, game_over = _check_dones(state, cfg)
     state = state.replace(episode_step=state.episode_step + 1)
 
@@ -328,6 +341,7 @@ def env_reset(
     sensors: Tuple[str, ...] = ("other_agents_states",),
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
     static_map=None,
+    static_cells=None,
 ):
     """Compute the initial observation for a freshly-initialized state
     (mirrors ``reset`` -> ``_get_obs``,
@@ -336,5 +350,7 @@ def env_reset(
     Build ``state`` itself with :func:`core.state.init_state` from a
     scenario (host-side), then call this.
     """
-    state, obs = _sense_and_observe(state, cfg, sensors, states_in_obs, static_map)
+    state, obs = _sense_and_observe(
+        state, cfg, sensors, states_in_obs, static_map, static_cells
+    )
     return state, obs

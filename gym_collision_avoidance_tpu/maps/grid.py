@@ -82,3 +82,21 @@ def wall_collisions(static_map, pos, radius, valid, cfg: EnvConfig):
     masks = agent_disc_masks(pos, radius, cfg, static_map.shape)
     hit = jnp.any(masks & static_map[None], axis=(1, 2))
     return hit & valid
+
+
+def occupied_cell_list(static_map: np.ndarray, max_cells: int | None = None) -> np.ndarray:
+    """Host-side: the occupied (i, j) cells of a static map as a padded
+    [S, 2] int32 array (-1 rows are padding) for the gather-free laserscan
+    (:func:`obs.sensors.laserscan_sparse`)."""
+    static_map = np.asarray(static_map)
+    ii, jj = np.where(static_map)
+    cells = np.stack([ii, jj], axis=1).astype(np.int32)
+    if max_cells is None:
+        max_cells = max(1, len(cells))
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"static map has {len(cells)} occupied cells > max_cells={max_cells};"
+            " use the dense gather path instead"
+        )
+    pad = np.full((max_cells - len(cells), 2), -1, np.int32)
+    return np.concatenate([cells, pad])

@@ -90,6 +90,94 @@ def laserscan(state, cfg, dynamic_map):
     return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
 
 
+def laserscan_sparse(state, cfg, static_cells):
+    """Gather-free laserscan: identical outputs to :func:`laserscan`, but
+    occupancy is evaluated *analytically* instead of reading a rasterized
+    map — agent discs by the circle-stamp inequality on the sample's cell
+    indices, static obstacles by comparison against a (padded) occupied-cell
+    list.
+
+    TPU rationale: the gather path reads the map at every (agent x beam x
+    range) sample — tens of millions of scalarized gathers per step, which
+    dominates everything at scale.  This path is pure vector compares on the
+    VPU: [A, L, A+S] per range sample, no gather at all.
+
+    Args:
+        static_cells: [S, 2] int32 occupied (i, j) cells of the *static*
+            map, padded with -1 rows (see
+            :func:`maps.grid.occupied_cell_list`).  S is a static shape.
+
+    Returns:
+        ranges [A, num_beams] in meters.
+    """
+    A = state.pos.shape[0]
+    L = cfg.laserscan_length
+    dtype = state.pos.dtype
+    H = int(cfg.map_y_width / cfg.map_grid_cell_size)
+    W = int(cfg.map_x_width / cfg.map_grid_cell_size)
+    angles0 = jnp.linspace(LASER_MIN_ANGLE, LASER_MAX_ANGLE, L).astype(dtype)
+    rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
+    R = rsamples.shape[0]
+
+    angles = angles0[None, :] + state.heading[:, None]          # [A, L]
+    cos_a = jnp.cos(angles)
+    sin_a = jnp.sin(angles)
+
+    # Disc stamps of every agent (Map.add_agents_to_map semantics: only
+    # agents whose center is in-map stamp; radius in cells).
+    gi, gj, center_in_map = map_grid.world_to_map(state.pos, cfg, (H, W))
+    r_cells_sq = (state.radius / cfg.map_grid_cell_size) ** 2
+    disc_valid = center_in_map & state.valid                    # [A]
+
+    cell_valid = static_cells[:, 0] >= 0                        # [S]
+
+    def body(carry, inp):
+        cnt, idx = carry
+        r, k = inp
+        px = state.pos[:, None, 0] + r * cos_a                  # [A, L]
+        py = state.pos[:, None, 1] + r * sin_a
+        pts = jnp.stack([px, py], axis=-1)
+        ii, jj, in_map = map_grid.world_to_map(pts, cfg, (H, W))
+
+        # any agent disc contains the sample's cell  [A, L, A_other]
+        di = ii[:, :, None] - gi[None, None, :]
+        dj = jj[:, :, None] - gj[None, None, :]
+        in_disc = (
+            (di * di + dj * dj < r_cells_sq[None, None, :])
+            & disc_valid[None, None, :]
+        )
+        # the ego's own disc is masked out of the whole map
+        # (LaserScanSensor.py:76-77)
+        eye = jnp.eye(A, dtype=bool)
+        in_ego = jnp.any(in_disc & eye[:, None, :], axis=-1)
+        agent_hit = jnp.any(in_disc, axis=-1)
+
+        # static occupied-cell list membership  [A, L, S]
+        if static_cells.shape[0] > 0:
+            static_hit = jnp.any(
+                (ii[:, :, None] == static_cells[None, None, :, 0])
+                & (jj[:, :, None] == static_cells[None, None, :, 1])
+                & cell_valid[None, None, :],
+                axis=-1,
+            )
+        else:
+            static_hit = jnp.zeros_like(agent_hit)
+
+        hit = (agent_hit | static_hit) & ~in_ego & in_map
+        cnt = cnt + hit.astype(jnp.int32)
+        idx = jnp.where(cnt == 1, k, idx)
+        return (cnt, idx), None
+
+    init = (
+        jnp.zeros((A, L), jnp.int32),
+        jnp.full((A, L), -1, jnp.int32),
+    )
+    (cnt, idx), _ = jax.lax.scan(
+        body, init, (rsamples, jnp.arange(R, dtype=jnp.int32))
+    )
+    return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
+
+
 def occupancy_grid(state, cfg, dynamic_map):
     """Batched 5x5 m ego-centered crop of the dynamic map
     (OccupancyGridSensor.sense, OccupancyGridSensor.py:24-88; out-of-map

@@ -19,7 +19,8 @@ sys.path.insert(0, ".")
 
 
 def bench_config(name, cfg, scenario, params, num_envs, num_steps,
-                 static_map=None, sensors=("other_agents_states",)):
+                 static_map=None, sensors=("other_agents_states",),
+                 static_cells=None):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +33,8 @@ def bench_config(name, cfg, scenario, params, num_envs, num_steps,
     def body(states, _):
         def one(s):
             s2, _o, rew, go, _i = env_step(
-                s, None, cfg, params, active, sensors, ("dist_to_goal",), static_map
+                s, None, cfg, params, active, sensors, ("dist_to_goal",),
+                static_map, static_cells,
             )
             return s2, rew, go
 
@@ -121,10 +123,11 @@ def main():
         sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
                                      policy="GA3C_CADRL")
         params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
-        static = jnp.asarray(map_grid.load_static_map(cfg, None))
+        static_np = map_grid.load_static_map(cfg, None)
+        cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=64))
         results.append(
             bench_config("ga3c20_laser", cfg, sc, params, E // 16, S,
-                         static_map=static,
+                         static_cells=cells,
                          sensors=("other_agents_states", "laserscan"))
         )
         print(json.dumps(results[-1]), flush=True)

@@ -195,3 +195,45 @@ def test_env_step_with_laserscan_and_walls():
             break
     assert hit_wall, "agent 0 should hit the wall"
     assert not bool(state.in_collision[1])
+
+
+def test_laserscan_sparse_matches_gather_path():
+    """The gather-free laserscan must be bit-identical to the dense path."""
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    static = jnp.asarray(static_np)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        A = 6
+        pos = rng.uniform(-4.5, 4.5, (A, 2))
+        radius = rng.uniform(0.2, 0.5, A)
+        heading = rng.uniform(-np.pi, np.pi, A)
+        state = init_state(cfg, pos=pos, goal=pos + 3, radius=radius,
+                           pref_speed=np.ones(A), heading=heading)
+        dynamic = map_grid.stamp_agents(static, state.pos, state.radius,
+                                        state.valid, cfg)
+        dense = np.asarray(sensors.laserscan(state, cfg, dynamic))
+        sparse = np.asarray(sensors.laserscan_sparse(state, cfg, cells))
+        np.testing.assert_array_equal(dense, sparse, err_msg=f"trial {trial}")
+
+
+def test_env_step_sparse_laserscan_end_to_end():
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    state = init_state(cfg, pos=np.array([[-2.0, -2.0], [-4.0, -4.0]]),
+                       goal=np.array([[2.0, 2.0], [-4.0, 2.0]]),
+                       radius=np.array([0.3, 0.3]),
+                       pref_speed=np.array([1.0, 1.0]))
+    from gym_collision_avoidance_tpu.env.step import env_reset, env_step
+
+    sensors_t = ("other_agents_states", "laserscan")
+    obs_keys = ("dist_to_goal", "laserscan")
+    # no static_map needed at all on this path (walls off)
+    state, obs = env_reset(state, cfg, sensors_t, obs_keys, None, cells)
+    assert obs["laserscan"].shape == (2, 3, 512)
+    state, obs, rew, go, info = env_step(
+        state, None, cfg, None, (2,), sensors_t, obs_keys, None, cells
+    )
+    assert np.isfinite(np.asarray(obs["laserscan"])).all()
