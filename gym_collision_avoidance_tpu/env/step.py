@@ -287,6 +287,7 @@ def env_step(
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
     static_map=None,
     static_cells=None,
+    precomputed_actions=None,
 ):
     """Advance one env by one timestep.
 
@@ -309,7 +310,12 @@ def env_step(
         pin = (state.policy_id == policies.STATIC) & ~state.is_done
         state = state.replace(goal=jnp.where(pin[:, None], state.pos, state.goal))
 
-    actions = policies.compute_actions(state, ext_actions, cfg, params, active_policies)
+    if precomputed_actions is not None:
+        # Batched fast path: actions were computed over the whole env batch
+        # (policies.compute_actions_batched) before vmapping into this step.
+        actions = jnp.where(state.is_done[:, None], 0.0, precomputed_actions)
+    else:
+        actions = policies.compute_actions(state, ext_actions, cfg, params, active_policies)
     if cfg.cast_actions_to_f32:
         # The reference buffers all actions through a float32 array before
         # stepping dynamics (envs/collision_avoidance_env.py:304-306).

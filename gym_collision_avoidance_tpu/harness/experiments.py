@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gym_collision_avoidance_tpu.config import EnvConfig
+from gym_collision_avoidance_tpu.env.batch import batched_env_step
 from gym_collision_avoidance_tpu.env.step import env_reset, env_step
 from gym_collision_avoidance_tpu.harness import registry as hreg
 from gym_collision_avoidance_tpu.scenarios import presets, suites
@@ -66,9 +67,9 @@ def run_batched_episodes(
 
     def body(carry, _):
         state, done, steps, total_reward = carry
-        state, _obs, rew, game_over, _info = jax.vmap(
-            lambda s: env_step(s, None, cfg, params, active)
-        )(state)
+        state, _obs, rew, game_over, _info = batched_env_step(
+            state, None, cfg, params, active
+        )
         alive = ~done
         total_reward = total_reward + rew * alive[:, None]
         steps = steps + alive.astype(jnp.int32)

@@ -207,6 +207,28 @@ def occupancy_grid(state, cfg, dynamic_map):
     return vals & rv[:, :, None] & cv[:, None, :]
 
 
+def _lex_rank(keys, idx):
+    """Stable lexicographic rank of each column entry among all entries.
+
+    ``keys`` is a tuple of [..., N] arrays (primary first); ties beyond the
+    keys break by original index — exactly ``np.lexsort``'s stable order.
+    Computed as a pairwise O(N^2) comparison + sum, which is pure vector
+    math on the VPU; on TPU this beats sort+gather by ~10x for small N
+    (sorts and take_along_axis gathers are scalarized).
+    """
+    def less(a):  # a [..., N] -> [..., N, N]: a_j < a_i
+        return a[..., :, None] > a[..., None, :]
+
+    def eq(a):
+        return a[..., :, None] == a[..., None, :]
+
+    j_lt_i = idx[:, None] > idx[None, :]
+    cmp = j_lt_i
+    for k in reversed(keys):
+        cmp = less(k) | (eq(k) & cmp)
+    return jnp.sum(cmp, axis=-1)                          # [..., N] ranks
+
+
 def other_agents_states(state, cfg):
     """Sense the K closest other agents for every host agent.
 
@@ -222,6 +244,11 @@ def other_agents_states(state, cfg):
         ``host_agent.other_agent_states`` cache (``:136-137``, falls back to
         the previous value when no other agent is visible), and ``counts``
         is ``num_other_agents_observed`` (``:142``).
+
+    Implementation: the reference's stable lexicographic sorts are computed
+    as pairwise-comparison *ranks* and the row gather as a one-hot
+    contraction — no sort or gather primitives (both scalarize on TPU and
+    dominated the step at scale; see PERF.md).
     """
     A = state.pos.shape[0]
     K = cfg.max_num_other_agents_observed
@@ -247,6 +274,7 @@ def other_agents_states(state, cfg):
     d_rounded = jnp.round(d2other * 100.0) / 100.0
 
     method = cfg.agent_sorting_method
+    idx = jnp.arange(A)
     if method == cfg_mod.SORT_TIME_TO_IMPACT:
         tti = maths.compute_time_to_impact(
             state.pos[:, None, :],
@@ -255,74 +283,43 @@ def other_agents_states(state, cfg):
             state.vel[None, :, :],
             combined_r,
         )
-        # sorted by (-tti, -d, p_orth) ascending (":38").
-        k_primary = jnp.where(visible, -tti, _INF)
-        k_secondary = jnp.where(visible, -d_rounded, _INF)
-        k_tertiary = jnp.where(visible, p_orth, _INF)
+        # clip sorted by (-tti, -d, p_orth) ascending (":38").
+        clip_keys = (
+            jnp.where(visible, -tti, _INF),
+            jnp.where(visible, -d_rounded, _INF),
+            jnp.where(visible, p_orth, _INF),
+        )
     else:
         # closest_first / closest_last both clip by (d, p_orth) ascending
         # (":33-39").
-        k_primary = jnp.where(visible, d_rounded, _INF)
-        k_secondary = jnp.where(visible, p_orth, _INF)
-        k_tertiary = None
+        clip_keys = (
+            jnp.where(visible, d_rounded, _INF),
+            jnp.where(visible, p_orth, _INF),
+        )
 
-    # Stable lexicographic argsort; ties beyond the keys fall back to index
-    # order, matching Python's stable `sorted`.
-    # Pad the candidate axis up to K so that rows are always [A, K, 7] even
-    # when A-1 < K (the reference pads its output to
-    # MAX_NUM_OTHER_AGENTS_OBSERVED with zeros, ":108").
-    if A < K + 1:
-        pad = K + 1 - A
-
-        def _padj(x, fill):
-            return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
-
-        visible = _padj(visible, False)
-        k_primary = _padj(k_primary, _INF)
-        k_secondary = _padj(k_secondary, _INF)
-        if k_tertiary is not None:
-            k_tertiary = _padj(k_tertiary, _INF)
-        p_par = _padj(p_par, 0.0)
-        p_orth = _padj(p_orth, 0.0)
-        v_par = _padj(v_par, 0.0)
-        v_orth = _padj(v_orth, 0.0)
-        other_r = _padj(other_r, 0.0)
-        combined_r = _padj(combined_r, 0.0)
-        d2other = _padj(d2other, 0.0)
-        d_rounded = _padj(d_rounded, 0.0)
-
-    if k_tertiary is None:
-        order = jnp.lexsort((k_secondary, k_primary), axis=-1)        # [A, A']
-    else:
-        order = jnp.lexsort((k_tertiary, k_secondary, k_primary), axis=-1)
-    order_k = order[:, :K]                                            # [A, K]
-
-    take = lambda x: jnp.take_along_axis(x, order_k, axis=1)
-    sel_visible = take(visible)                                       # [A, K]
+    rank = _lex_rank(clip_keys, idx)                                  # [A, A]
+    selected = visible & (rank < K)
 
     # Re-sort the clipped K by the final ordering scheme (":41-50").
     if method == cfg_mod.SORT_CLOSEST_LAST:
-        f_primary = jnp.where(sel_visible, -take(d_rounded), _INF)
-        f_secondary = jnp.where(sel_visible, take(p_orth), _INF)
-        reorder = jnp.lexsort((f_secondary, f_primary), axis=-1)      # [A, K]
-        order_k = jnp.take_along_axis(order_k, reorder, axis=1)
-        sel_visible = take(visible)
+        final_keys = (
+            jnp.where(selected, -d_rounded, _INF),
+            jnp.where(selected, p_orth, _INF),
+        )
+        rank = _lex_rank(final_keys, idx)
     # closest_first and time_to_impact re-sort by the same key as the clip
-    # sort, which is a no-op on an already-sorted stable list.
+    # sort, which is a no-op on a stable order.
 
-    rows = jnp.stack(
-        [
-            take(p_par),
-            take(p_orth),
-            take(v_par),
-            take(v_orth),
-            take(other_r),
-            take(combined_r),
-            take(d2other),
-        ],
-        axis=-1,
-    ).astype(dtype)                                                   # [A, K, 7]
-    rows = jnp.where(sel_visible[..., None], rows, 0.0)
+    fields = jnp.stack(
+        [p_par, p_orth, v_par, v_orth, other_r, combined_r, d2other], axis=-1
+    ).astype(dtype)                                                   # [A, A, 7]
+
+    # one-hot contraction: row k of host h = the entry with rank k.
+    slot = jnp.arange(K)
+    onehot = (rank[:, None, :] == slot[None, :, None]) & selected[:, None, :]
+    rows = jnp.einsum(
+        "hko,hof->hkf", onehot.astype(dtype), fields
+    )                                                                 # [A, K, 7]
 
     counts = jnp.minimum(jnp.sum(visible, axis=1), K).astype(jnp.int32)
 

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gym_collision_avoidance_tpu.config import EnvConfig
 from gym_collision_avoidance_tpu.core.state import EnvState
+from gym_collision_avoidance_tpu.env.batch import batched_env_step
 from gym_collision_avoidance_tpu.env.step import env_step
 from gym_collision_avoidance_tpu.obs import spec as obs_spec
 from gym_collision_avoidance_tpu.policies import registry as policies
@@ -71,21 +72,18 @@ def make_batched_step(
     (states, obs, rewards, game_over[E], info)``.
     """
 
-    def _one(state, ext_actions, params):
-        return env_step(
-            state, ext_actions, cfg, params, active_policies, sensors, states_in_obs
-        )
-
     if has_external:
-        vstep = jax.vmap(_one, in_axes=(0, 0, None))
-
         def stepper(states, ext_actions, params=None):
-            return vstep(states, ext_actions, params)
+            return batched_env_step(
+                states, ext_actions, cfg, params, active_policies, sensors,
+                states_in_obs,
+            )
     else:
-        vstep = jax.vmap(lambda s, p: _one(s, None, p), in_axes=(0, None))
-
         def stepper(states, params=None):
-            return vstep(states, params)
+            return batched_env_step(
+                states, None, cfg, params, active_policies, sensors,
+                states_in_obs,
+            )
 
     return jax.jit(stepper, donate_argnums=(0,) if donate else ())
 
@@ -103,9 +101,9 @@ def make_batched_rollout(
     large leaves the device)."""
 
     def body(states, _):
-        states, _obs, rewards, game_over, _info = jax.vmap(
-            lambda s: env_step(s, None, cfg, None, active_policies, sensors, states_in_obs)
-        )(states)
+        states, _obs, rewards, game_over, _info = batched_env_step(
+            states, None, cfg, None, active_policies, sensors, states_in_obs
+        )
         metrics = {
             "mean_reward": jnp.mean(rewards),
             "done_frac": jnp.mean(game_over.astype(jnp.float32)),

@@ -247,8 +247,12 @@ def _encode(agent_next, others_next, others_present):
     return jnp.concatenate([host, blocks.reshape(n, -1)], axis=-1)  # [n, 31]
 
 
-def _cadrl_action_single(h, state, cfg, params):
-    """The full lookahead for ego agent index ``h``."""
+def _cadrl_prepare(h, state, cfg):
+    """Everything before the value-net call for ego agent ``h``: other
+    selection, candidates, collision pruning, rewards, propagation, and the
+    agent-centric encoding.  Returns (states_nn [47, 31], aux dict) so the
+    NN matmul can run once over a flattened [envs x agents x 47] batch
+    (tiny per-agent batched dots serialize the MXU otherwise)."""
     dtype = state.pos.dtype
     A = state.pos.shape[0]
 
@@ -369,18 +373,39 @@ def _cadrl_action_single(h, state, cfg, params):
     present_r = present[perm]
 
     states_nn = _encode(agent_next, others_next_r, present_r)     # [47, 31]
-    nn_vals = jnp.clip(cadrl_net.forward_raw(params, states_nn), -0.25, 1.0)
-    nn_vals = jnp.minimum(GAMMA ** (states_nn[:, 0] / DT_NORMAL), nn_vals)
+    aux = {
+        "actions": actions,
+        "action_rewards": action_rewards,
+        "if_collide": if_collide,
+        "reached": reached,
+        "d_next": d_next,
+        "dist_col": states_nn[:, 0],
+        "dt_forward": dt_forward,
+        "pref": pref,
+        "heading_h": state.heading[h],
+        "heading_ego_h": state.heading_ego_frame[h],
+        "num_present": num_present,
+    }
+    return states_nn, aux
+
+
+def _cadrl_finish(aux, nn_raw):
+    """Value bounding, combination, and argmax after the net call
+    (:1284-1295, 2052-2100, CADRLPolicy.py:71-81)."""
+    actions = aux["actions"]
+    nn_vals = jnp.clip(nn_raw, -0.25, 1.0)
+    nn_vals = jnp.minimum(GAMMA ** (aux["dist_col"] / DT_NORMAL), nn_vals)
 
     state_values = jnp.where(
-        if_collide,
+        aux["if_collide"],
         0.0,
-        jnp.where(reached, GAMMA ** (d_next / DT_NORMAL), nn_vals),
+        jnp.where(aux["reached"], GAMMA ** (aux["d_next"] / DT_NORMAL), nn_vals),
     )
 
-    # --- combine (:1284-1295) ---
-    dt_vec = 0.2 * dt_forward + 0.8 * actions[:, 0] / pref * dt_forward
-    values = action_rewards + GAMMA ** (dt_vec * pref / DT_NORMAL) * state_values
+    dt_vec = 0.2 * aux["dt_forward"] + 0.8 * actions[:, 0] / aux["pref"] * aux["dt_forward"]
+    values = aux["action_rewards"] + GAMMA ** (
+        dt_vec * aux["pref"] / DT_NORMAL
+    ) * state_values
 
     best = jnp.argmax(values)
     best_action = actions[best]
@@ -390,12 +415,18 @@ def _cadrl_action_single(h, state, cfg, params):
     # speed 1.0 (the reference's intent at CADRLPolicy.py:80 — its literal
     # code would raise AttributeError, so the fallback can't fire there).
     action = jnp.stack(
-        [best_action[0], maths.wrap(best_action[1] - state.heading[h])]
+        [best_action[0], maths.wrap(best_action[1] - aux["heading_h"])]
     )
+    dtype = action.dtype
     fallback = jnp.stack(
-        [jnp.asarray(1.0, dtype), -state.heading_ego_frame[h]]
+        [jnp.asarray(1.0, dtype), -aux["heading_ego_h"]]
     )
-    return jnp.where(num_present > 0, action, fallback)
+    return jnp.where(aux["num_present"] > 0, action, fallback)
+
+
+def _cadrl_action_single(h, state, cfg, params):
+    states_nn, aux = _cadrl_prepare(h, state, cfg)
+    return _cadrl_finish(aux, cadrl_net.forward_raw(params, states_nn))
 
 
 def _update_states_others(others_s10, others_action, dt):
@@ -484,6 +515,25 @@ def cadrl_kernel(state, cfg, params):
     return jax.vmap(lambda h: _cadrl_action_single(h, state, cfg, p))(
         jnp.arange(A)
     )
+
+
+def cadrl_kernel_batched(states, cfg, params):
+    """Batched-env fast path: identical math to vmapping :func:`cadrl_kernel`
+    over envs, but the value net runs ONCE over the flattened
+    [E x A x 47, 31] batch instead of E*A tiny batched matmuls."""
+    if params is None or PARAMS_KEY not in params:
+        raise ValueError("CADRL policy requires params['cadrl']")
+    p = params[PARAMS_KEY]
+    E, A = states.pos.shape[:2]
+
+    def prep_env(state):
+        return jax.vmap(lambda h: _cadrl_prepare(h, state, cfg))(jnp.arange(A))
+
+    states_nn, aux = jax.vmap(prep_env)(states)          # [E, A, 47, 31]
+    nn_raw = cadrl_net.forward_raw(
+        p, states_nn.reshape(E * A * NUM_ACTIONS, -1)
+    ).reshape(E, A, NUM_ACTIONS)
+    return jax.vmap(jax.vmap(_cadrl_finish))(aux, nn_raw)
 
 
 registry.register_internal(registry.CADRL, cadrl_kernel)

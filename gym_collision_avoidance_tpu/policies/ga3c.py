@@ -52,4 +52,34 @@ def ga3c_cadrl_kernel(state, cfg, params):
     return jnp.stack([state.pref_speed * raw[:, 0], raw[:, 1]], axis=-1)
 
 
+def ga3c_cadrl_kernel_batched(states, cfg, params):
+    """Batched-env fast path: one network call over the flattened
+    [E x A] agent batch (vmapping the per-env kernel turns every matmul
+    into E tiny batched dots that serialize the MXU)."""
+    if params is None or PARAMS_KEY not in params:
+        raise ValueError("GA3C_CADRL policy requires params['ga3c_cadrl']")
+    p = params[PARAMS_KEY]
+    E, A = states.pos.shape[:2]
+    N = E * A
+
+    vec = jnp.concatenate(
+        [
+            states.num_other_agents_observed.astype(jnp.float32).reshape(N, 1),
+            states.dist_to_goal.astype(jnp.float32).reshape(N, 1),
+            states.heading_ego_frame.astype(jnp.float32).reshape(N, 1),
+            states.pref_speed.astype(jnp.float32).reshape(N, 1),
+            states.radius.astype(jnp.float32).reshape(N, 1),
+            states.sensed_others.astype(jnp.float32).reshape(N, -1),
+        ],
+        axis=-1,
+    )
+    probs, _value = net.forward(p, vec, max_seq_len=A - 1)
+    idx = jnp.argmax(probs, axis=-1)
+    table = jnp.asarray(registry.ga3c_actions_table(), states.pos.dtype)
+    raw = table[idx]
+    return jnp.stack(
+        [states.pref_speed.reshape(N) * raw[:, 0], raw[:, 1]], axis=-1
+    ).reshape(E, A, 2)
+
+
 registry.register_internal(registry.GA3C_CADRL, ga3c_cadrl_kernel)

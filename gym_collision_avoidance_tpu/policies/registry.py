@@ -120,21 +120,21 @@ def map_external_actions(state, ext_actions, cfg):
 
     learn = jnp.stack(
         [
-            state.pref_speed * ext[:, 0],
-            cfg.max_heading_change * (2.0 * ext[:, 1] - 1.0),
+            state.pref_speed * ext[..., 0],
+            cfg.max_heading_change * (2.0 * ext[..., 1] - 1.0),
         ],
         axis=-1,
     )
-    out = jnp.where((pid == LEARNING)[:, None], learn, out)
+    out = jnp.where((pid == LEARNING)[..., None], learn, out)
 
-    idx = jnp.clip(ext[:, 0].astype(jnp.int32), 0, 10)
+    idx = jnp.clip(ext[..., 0].astype(jnp.int32), 0, 10)
     ga3c_table = jnp.asarray(ga3c_actions_table(), dtype)
     ga3c = ga3c_table[idx]
-    ga3c = ga3c.at[:, 0].mul(state.pref_speed)
-    out = jnp.where((pid == LEARNING_GA3C)[:, None], ga3c, out)
+    ga3c = jnp.stack([ga3c[..., 0] * state.pref_speed, ga3c[..., 1]], axis=-1)
+    out = jnp.where((pid == LEARNING_GA3C)[..., None], ga3c, out)
 
     carrl_table = jnp.asarray(carrl_actions_table(), dtype)
-    out = jnp.where((pid == CARRL)[:, None], carrl_table[idx], out)
+    out = jnp.where((pid == CARRL)[..., None], carrl_table[idx], out)
     return out
 
 
@@ -188,6 +188,57 @@ def compute_actions(state, ext_actions, cfg, params, active_policies):
     # Done agents contribute a zero action
     # (envs/collision_avoidance_env.py:311-312).
     actions = jnp.where(state.is_done[:, None], 0.0, actions)
+    return actions
+
+
+def compute_actions_batched(states, ext_actions, cfg, params, active_policies):
+    """Batched-env action computation over [E, A]-leaved states.
+
+    Mathematically identical to vmapping :func:`compute_actions` over envs,
+    but NN policies (GA3C_CADRL, CADRL, DRL_LONG) run their network ONCE on
+    the flattened agent batch — per-env vmapped matmuls of [A, K] are tiny
+    batched dots that serialize the MXU and cost ~100x.
+    """
+    import jax
+
+    E, A = states.pos.shape[:2]
+    dtype = states.pos.dtype
+    actions = jnp.zeros((E, A, 2), dtype)
+
+    if any(p in EXTERNAL_POLICIES for p in active_policies):
+        if ext_actions is None:
+            raise ValueError("scenario contains external policies but no actions given")
+        mapped = map_external_actions(states, ext_actions, cfg)
+        is_ext = _isin(states.policy_id, [p for p in active_policies if p in EXTERNAL_POLICIES])
+        actions = jnp.where(is_ext[..., None], mapped, actions)
+
+    for pid in active_policies:
+        if pid in EXTERNAL_POLICIES:
+            continue
+        if pid == STATIC:
+            pol_actions = jnp.zeros((E, A, 2), dtype)
+        elif pid == NONCOOP:
+            pol_actions = noncoop_kernel(states, cfg, params)  # elementwise
+        elif pid == GA3C_CADRL:
+            from gym_collision_avoidance_tpu.policies.ga3c import (
+                ga3c_cadrl_kernel_batched,
+            )
+
+            pol_actions = ga3c_cadrl_kernel_batched(states, cfg, params)
+        elif pid == CADRL:
+            from gym_collision_avoidance_tpu.policies.cadrl import (
+                cadrl_kernel_batched,
+            )
+
+            pol_actions = cadrl_kernel_batched(states, cfg, params)
+        else:
+            kernel = INTERNAL_KERNELS.get(pid)
+            if kernel is None:
+                raise NotImplementedError(f"internal policy id {pid} has no kernel")
+            pol_actions = jax.vmap(lambda s: kernel(s, cfg, params))(states)
+        actions = jnp.where((states.policy_id == pid)[..., None], pol_actions, actions)
+
+    actions = jnp.where(states.is_done[..., None], 0.0, actions)
     return actions
 
 

@@ -24,21 +24,17 @@ def bench_config(name, cfg, scenario, params, num_envs, num_steps,
     import jax
     import jax.numpy as jnp
 
-    from gym_collision_avoidance_tpu.env.step import env_step
+    from gym_collision_avoidance_tpu.env.batch import batched_env_step
 
     state = scenario.to_state(cfg)
     states = jax.tree.map(lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), state)
     active = scenario.active_policies
 
     def body(states, _):
-        def one(s):
-            s2, _o, rew, go, _i = env_step(
-                s, None, cfg, params, active, sensors, ("dist_to_goal",),
-                static_map, static_cells,
-            )
-            return s2, rew, go
-
-        states, rew, go = jax.vmap(one)(states)
+        states, _o, rew, go, _i = batched_env_step(
+            states, None, cfg, params, active, sensors, ("dist_to_goal",),
+            static_map, static_cells,
+        )
         return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)))
 
     @jax.jit

@@ -156,3 +156,47 @@ def test_gym_registration():
     env.unwrapped.set_scenario(presets.two_agents_swap())
     obs, info = env.reset()
     assert 0 in obs
+
+
+def test_batched_env_step_matches_vmapped_env_step():
+    """The batched fast path must equal vmap(env_step) exactly, for a
+    mixed-policy batch including both NN policies."""
+    import jax
+    from gym_collision_avoidance_tpu.env.batch import batched_env_step
+    from gym_collision_avoidance_tpu.env.step import env_reset, env_step
+    from gym_collision_avoidance_tpu.models import cadrl as cadrl_net
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+
+    cfg = EnvConfig(dtype="float64", done_mode="evaluate",
+                    max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last")
+    params = {"cadrl": cadrl_net.load_params(),
+              "ga3c_cadrl": ga3c_cadrl.load_params()}
+    rng = np.random.RandomState(3)
+    scenarios = []
+    for _ in range(4):
+        sc = presets.circle_scenario(4, radius=3.5, agent_radius=0.3)
+        sc.pos = sc.pos + rng.uniform(-0.4, 0.4, sc.pos.shape)
+        sc.heading = None
+        sc.policy_id = np.array([P.CADRL, P.GA3C_CADRL, P.NONCOOP, P.STATIC])
+        scenarios.append(sc)
+    active = scenarios[0].active_policies
+
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[sc.to_state(cfg) for sc in scenarios]
+    )
+    states = jax.vmap(lambda s: env_reset(s, cfg)[0])(states)
+
+    ref_states = states
+    for _ in range(5):
+        states, obs_b, rew_b, go_b, _ = batched_env_step(
+            states, None, cfg, params, active
+        )
+        ref_states, obs_v, rew_v, go_v, _ = jax.vmap(
+            lambda s: env_step(s, None, cfg, params, active)
+        )(ref_states)
+        np.testing.assert_array_equal(np.asarray(states.pos), np.asarray(ref_states.pos))
+        np.testing.assert_array_equal(np.asarray(rew_b), np.asarray(rew_v))
+        np.testing.assert_array_equal(np.asarray(go_b), np.asarray(go_v))
+        for k in obs_b:
+            np.testing.assert_array_equal(np.asarray(obs_b[k]), np.asarray(obs_v[k]))

@@ -137,3 +137,20 @@ def test_env_rollout_matches_reference(scenario):
     np.testing.assert_array_equal(
         np.asarray(traj["in_collision"]), ref["in_collision"]
     )
+
+
+def test_bf16_fast_path_argmax_agreement():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(13)
+    x = _random_obs_batch(rng, 256)
+    p32 = net.load_params()
+    pbf = net.load_params(dtype=jnp.bfloat16)
+    probs32, _ = net.forward(p32, x.astype(np.float32))
+    probsbf, _ = net.forward(pbf, x.astype(np.float32))
+    a32 = np.argmax(np.asarray(probs32), axis=1)
+    abf = np.argmax(np.asarray(probsbf), axis=1)
+    assert (a32 == abf).mean() >= 0.98, (a32 != abf).sum()
+    np.testing.assert_allclose(
+        np.asarray(probsbf, np.float32), np.asarray(probs32), atol=0.05
+    )
