@@ -52,9 +52,16 @@ def forward_raw(params, x):
     h = jax.nn.relu(h @ params["W1"] + params["b1"])
     # max layer (layers_info [[1,50],[3,50]]): host 50-block passes through a
     # max over 1; the 3 other-agent 50-blocks reduce with an elementwise max.
+    # Written as slice-maxes (a reshape to [., 3, 50] forces a costly layout
+    # transpose on TPU; contiguous slices are free).
     host = h[..., :HOST_BLOCK]
-    others = h[..., HOST_BLOCK:].reshape(h.shape[:-1] + (NUM_OTHER_SLOTS, OTHER_BLOCK))
-    pooled = jnp.max(others, axis=-2)
+    pooled = jnp.maximum(
+        jnp.maximum(
+            h[..., HOST_BLOCK:HOST_BLOCK + OTHER_BLOCK],
+            h[..., HOST_BLOCK + OTHER_BLOCK:HOST_BLOCK + 2 * OTHER_BLOCK],
+        ),
+        h[..., HOST_BLOCK + 2 * OTHER_BLOCK:HOST_BLOCK + 3 * OTHER_BLOCK],
+    )
     z = jnp.concatenate([host, pooled], axis=-1)
     z = jax.nn.relu(z @ params["W3"] + params["b3"])
     y = z @ params["W4"] + params["b4"]

@@ -88,15 +88,25 @@ def _update_states(s10, actions, dt):
     also updated there but nothing downstream reads it — the encoder zeroes
     it, pedData_processing_multi.py:336 — so it is skipped here)."""
     n = actions.shape[0]
-    nxt = jnp.tile(s10, (n, 1))
     c = jnp.cos(actions[:, 1])
     s = jnp.sin(actions[:, 1])
-    nxt = nxt.at[:, 0].add(actions[:, 0] * c * dt)
-    nxt = nxt.at[:, 1].add(actions[:, 0] * s * dt)
-    nxt = nxt.at[:, 2].set(actions[:, 0] * c)
-    nxt = nxt.at[:, 3].set(actions[:, 0] * s)
-    nxt = nxt.at[:, 4].set(actions[:, 1])
-    return nxt
+    ones = jnp.ones((n,), s10.dtype)
+    # column stack (tile + scatter-update forces layout copies on TPU)
+    return jnp.stack(
+        [
+            s10[0] + actions[:, 0] * c * dt,
+            s10[1] + actions[:, 0] * s * dt,
+            actions[:, 0] * c,
+            actions[:, 0] * s,
+            actions[:, 1],
+            s10[5] * ones,
+            s10[6] * ones,
+            s10[7] * ones,
+            s10[8] * ones,
+            s10[9] * ones,
+        ],
+        axis=-1,
+    )
 
 
 def _seg_min_dists(x1, x2, y1, y2):
@@ -247,6 +257,74 @@ def _encode(agent_next, others_next, others_present):
     return jnp.concatenate([host, blocks.reshape(n, -1)], axis=-1)  # [n, 31]
 
 
+def _swap_slot0(rows, present, closest):
+    """Swap slot 0 with slot ``closest`` (the encoder's closest-other
+    reorder, pedData_processing_multi.py:268-277) via a one-hot permutation
+    matrix — no gather."""
+    slots = jnp.arange(NUM_SLOTS)
+    # perm[i] = target source slot for output slot i
+    perm = jnp.where(slots == 0, closest, jnp.where(slots == closest, 0, slots))
+    onehot = (perm[:, None] == slots[None, :]).astype(rows.dtype)  # [3, 3]
+    rows_r = onehot @ rows
+    present_r = (onehot @ present.astype(rows.dtype)) > 0.5
+    return rows_r, present_r
+
+
+def _select_others(h, state, cfg):
+    """The wrapper's <= 3 closest-other selection (CADRLPolicy.py:125-139):
+    the reference sorts candidates ascending by (-round(d,2), p_orth) and
+    takes the *last* min(3, K) — i.e. the closest agents, ordered
+    farthest-of-the-selected first.  Computed as a pairwise lexicographic
+    rank + one-hot contraction (no sort/gather, which scalarize on TPU).
+
+    Returns:
+        (others_s10 [3, 10], others_action [3, 2] filtered velocities,
+         present [3] bool, num_present scalar)
+    """
+    from gym_collision_avoidance_tpu.obs.sensors import _lex_rank
+
+    A = state.pos.shape[0]
+    dtype = state.pos.dtype
+    rel = state.pos - state.pos[h]
+    dist_centers = maths.norm2(rel)
+    d2other = dist_centers - state.radius[h] - state.radius
+    p_orth = rel @ state.ref_orth[h]
+    cand = (
+        (jnp.arange(A) != h) & state.valid & (dist_centers <= cfg.sensing_horizon)
+    )
+    key1 = jnp.where(cand, -(jnp.round(d2other * 100.0) / 100.0), -jnp.inf)
+    key2 = jnp.where(cand, p_orth, -jnp.inf)
+    rank = _lex_rank((key1, key2), jnp.arange(A))                 # [A]
+    k_slots = min(NUM_SLOTS, cfg.max_num_other_agents_observed)
+    eligible = cand & (rank >= A - k_slots)
+    num_present = jnp.sum(eligible)
+    # slot of an eligible entry, compacted to the front preserving order
+    slot_of = rank - (A - num_present)
+    slots = jnp.arange(NUM_SLOTS)
+    onehot = (
+        eligible[None, :] & (slot_of[None, :] == slots[:, None])
+    ).astype(dtype)                                               # [3, A]
+    present = slots < num_present                                 # [3]
+
+    fields10 = jnp.concatenate(
+        [
+            state.pos,
+            state.vel,
+            state.heading[:, None],
+            state.pref_speed[:, None],
+            state.goal,
+            state.radius[:, None],
+            state.turning_dir[:, None],
+        ],
+        axis=-1,
+    )                                                             # [A, 10]
+    others_s10 = onehot @ fields10                                # [3, 10]
+    past_vel_sel = jnp.einsum("sa,akc->skc", onehot, state.past_vel)
+    dt_past = jnp.full((NUM_SLOTS, 2), cfg.dt, dtype)
+    others_action = maths.filter_vel(dt_past, past_vel_sel)       # [3, 2]
+    return others_s10, others_action, present, num_present
+
+
 def _cadrl_prepare(h, state, cfg):
     """Everything before the value-net call for ego agent ``h``: other
     selection, candidates, collision pruning, rewards, propagation, and the
@@ -268,51 +346,12 @@ def _cadrl_prepare(h, state, cfg):
         ]
     )
 
-    # --- select <= 3 closest others (CADRLPolicy.py:125-139) ---
-    rel = state.pos - state.pos[h]
-    dist_centers = maths.norm2(rel)
-    d2other = dist_centers - state.radius[h] - state.radius
-    p_orth = rel @ state.ref_orth[h]
-    cand = (
-        (jnp.arange(A) != h) & state.valid & (dist_centers <= cfg.sensing_horizon)
+    # --- select <= 3 closest others (CADRLPolicy.py:125-139), computed as a
+    # pairwise lexicographic RANK + one-hot contraction (sorts and fancy
+    # gathers scalarize on TPU; see obs.sensors._lex_rank / PERF.md) ---
+    others_s10, others_action, present, num_present = _select_others(
+        h, state, cfg
     )
-    # sorted by (-round(d,2), p_orth) ascending; invalid first (-inf keys) so
-    # that the *last* k are the k closest, ordered farthest-of-the-k first.
-    key1 = jnp.where(cand, -(jnp.round(d2other * 100.0) / 100.0), -jnp.inf)
-    key2 = jnp.where(cand, p_orth, -jnp.inf)
-    order = jnp.lexsort((key2, key1))
-    if A < NUM_SLOTS + 1:
-        # Fewer than 3 possible others: left-pad with the ego index, which is
-        # never a candidate, so the window stays a static [3].
-        order = jnp.concatenate([jnp.full((NUM_SLOTS + 1 - A,), h), order])
-    k_slots = min(NUM_SLOTS, cfg.max_num_other_agents_observed)
-    window = order[-NUM_SLOTS:]                                   # [3]
-    pos_in_window = jnp.arange(NUM_SLOTS)
-    eligible = cand[window] & (pos_in_window >= NUM_SLOTS - k_slots)
-    # compact eligible slots to the front, preserving order
-    shift = jnp.sum(~eligible)
-    idx = (pos_in_window + shift) % NUM_SLOTS
-    window = window[idx]
-    present = eligible[idx]                                       # [3]
-    num_present = jnp.sum(present)
-
-    # other CADRL states [3, 10] + filtered-velocity actions [3, 2]
-    # (CADRLPolicy.py:145-166)
-    o = window
-    others_s10 = jnp.concatenate(
-        [
-            state.pos[o],
-            state.vel[o],
-            state.heading[o][:, None],
-            state.pref_speed[o][:, None],
-            state.goal[o],
-            state.radius[o][:, None],
-            state.turning_dir[o][:, None],
-        ],
-        axis=-1,
-    )
-    dt_past = jnp.full((NUM_SLOTS, 2), cfg.dt, dtype)
-    others_action = maths.filter_vel(dt_past, state.past_vel[o])   # [3, 2]
 
     # overwrite others' velocity from their (filtered) action (:974-983)
     oc = jnp.cos(others_action[:, 1])
@@ -361,16 +400,17 @@ def _cadrl_prepare(h, state, cfg):
     # NN-queried row's next position (pedData reorder uses agent_states[0],
     # pedData_processing_multi.py:268-277, 377-379) ---
     first_sel = jnp.argmax(needs_nn)                              # 0 if none
+    # one-hot contraction instead of agent_next[first_sel] (gathers
+    # scalarize on TPU)
+    sel_onehot = (jnp.arange(NUM_ACTIONS) == first_sel).astype(dtype)
+    first_pos = sel_onehot @ agent_next[:, 0:2]                   # [2]
     d_reorder = jnp.where(
         present,
-        jnp.linalg.norm(others_next[:, 0:2] - agent_next[first_sel, 0:2], axis=1),
+        jnp.linalg.norm(others_next[:, 0:2] - first_pos, axis=1),
         jnp.inf,
     )
     closest = jnp.argmin(d_reorder)
-    perm = jnp.arange(NUM_SLOTS)
-    perm = perm.at[0].set(closest).at[closest].set(0)
-    others_next_r = others_next[perm]
-    present_r = present[perm]
+    others_next_r, present_r = _swap_slot0(others_next, present, closest)
 
     states_nn = _encode(agent_next, others_next_r, present_r)     # [47, 31]
     aux = {
@@ -434,13 +474,21 @@ def _update_states_others(others_s10, others_action, dt):
     heading/turning-dir slots are not read downstream)."""
     c = jnp.cos(others_action[:, 1])
     s = jnp.sin(others_action[:, 1])
-    nxt = others_s10
-    nxt = nxt.at[:, 0].add(others_action[:, 0] * c * dt)
-    nxt = nxt.at[:, 1].add(others_action[:, 0] * s * dt)
-    nxt = nxt.at[:, 2].set(others_action[:, 0] * c)
-    nxt = nxt.at[:, 3].set(others_action[:, 0] * s)
-    nxt = nxt.at[:, 4].set(others_action[:, 1])
-    return nxt
+    return jnp.stack(
+        [
+            others_s10[:, 0] + others_action[:, 0] * c * dt,
+            others_s10[:, 1] + others_action[:, 0] * s * dt,
+            others_action[:, 0] * c,
+            others_action[:, 0] * s,
+            others_action[:, 1],
+            others_s10[:, 5],
+            others_s10[:, 6],
+            others_s10[:, 7],
+            others_s10[:, 8],
+            others_s10[:, 9],
+        ],
+        axis=-1,
+    )
 
 
 def _cadrl_value_single(h, state, cfg, params):
@@ -457,41 +505,16 @@ def _cadrl_value_single(h, state, cfg, params):
             state.turning_dir[h][None],
         ]
     )
-    rel = state.pos - state.pos[h]
-    dist_centers = maths.norm2(rel)
-    d2other = dist_centers - state.radius[h] - state.radius
-    p_orth = rel @ state.ref_orth[h]
-    cand = (jnp.arange(A) != h) & state.valid & (dist_centers <= cfg.sensing_horizon)
-    key1 = jnp.where(cand, -(jnp.round(d2other * 100.0) / 100.0), -jnp.inf)
-    key2 = jnp.where(cand, p_orth, -jnp.inf)
-    order = jnp.lexsort((key2, key1))
-    if A < NUM_SLOTS + 1:
-        order = jnp.concatenate([jnp.full((NUM_SLOTS + 1 - A,), h), order])
-    k_slots = min(NUM_SLOTS, cfg.max_num_other_agents_observed)
-    window = order[-NUM_SLOTS:]
-    pos_in_window = jnp.arange(NUM_SLOTS)
-    eligible = cand[window] & (pos_in_window >= NUM_SLOTS - k_slots)
-    shift = jnp.sum(~eligible)
-    idx = (pos_in_window + shift) % NUM_SLOTS
-    window = window[idx]
-    present = eligible[idx]
-
-    o = window
-    others_s10 = jnp.concatenate(
-        [
-            state.pos[o], state.vel[o], state.heading[o][:, None],
-            state.pref_speed[o][:, None], state.goal[o],
-            state.radius[o][:, None], state.turning_dir[o][:, None],
-        ],
-        axis=-1,
+    others_s10, _others_action, present, _num_present = _select_others(
+        h, state, cfg
     )
     # single-state encoder reorder: closest (from current pos) to slot 0
     d_reorder = jnp.where(
         present, jnp.linalg.norm(others_s10[:, 0:2] - s10[0:2], axis=1), jnp.inf
     )
     closest = jnp.argmin(d_reorder)
-    perm = jnp.arange(NUM_SLOTS).at[0].set(closest).at[closest].set(0)
-    state_nn = _encode(s10[None, :], others_s10[perm], present[perm])[0]
+    others_s10_r, present_r = _swap_slot0(others_s10, present, closest)
+    state_nn = _encode(s10[None, :], others_s10_r, present_r)[0]
     val = jnp.clip(cadrl_net.forward_raw(params, state_nn[None, :])[0], -0.25, 1.0)
     return jnp.minimum(GAMMA ** (state_nn[0] / DT_NORMAL), val)
 
