@@ -141,12 +141,10 @@ def init_state(
     time_remaining = jnp.maximum(cfg.max_time_ratio * straight_line_time, cfg.dt)
 
     # Ego frame at reset (envs/agent.py:126 -> Dynamics.update_ego_frame).
-    ref_prll, ref_orth, dist_to_goal = maths.goal_frame_axes(pos, goal)
-    ref_angle = jnp.arctan2(ref_prll[:, 1], ref_prll[:, 0])
-    heading_ego = maths.wrap(heading - ref_angle)
-    cur_speed = maths.norm2(vel)
-    vel_ego = jnp.stack(
-        [cur_speed * jnp.cos(heading_ego), cur_speed * jnp.sin(heading_ego)], axis=-1
+    from gym_collision_avoidance_tpu.core import dynamics as dyn
+
+    ref_prll, ref_orth, dist_to_goal, heading_ego, vel_ego = dyn.update_ego_frame(
+        pos, goal, heading, vel
     )
 
     if policy_id is None:

@@ -69,16 +69,23 @@ def make_autoreset_step(
         state, obs, rewards, game_over, _info = env_step(
             state, None, cfg, params, active_policies, sensors, states_in_obs
         )
-        fresh = state_from_case(
-            cfg, pool[counter % N], policy_id, rng=state.rng
+        from gym_collision_avoidance_tpu.env.step import env_reset
+
+        # Standard autoreset contract (cf. DummyVecEnv reset-on-done,
+        # envs/vec_env.py:120-128): on reset steps the returned obs is the
+        # NEW episode's first observation, matching the returned state.
+        fresh, fresh_obs = env_reset(
+            state_from_case(cfg, pool[counter % N], policy_id, rng=state.rng),
+            cfg,
+            sensors,
+            states_in_obs,
         )
-        next_state = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(game_over, (1,) * old.ndim), new, old
-            ),
-            fresh,
-            state,
-        )
+
+        def sel(new, old):
+            return jnp.where(jnp.reshape(game_over, (1,) * old.ndim), new, old)
+
+        next_state = jax.tree.map(sel, fresh, state)
+        obs = jax.tree.map(sel, fresh_obs, obs)
         counter = counter + game_over.astype(jnp.int32)
         return next_state, counter, obs, rewards, game_over
 

@@ -124,7 +124,11 @@ class CollisionAvoidanceEnv(_BASE):
     def step(self, actions=None, dt=None):
         """``actions``: None (all-internal policies), or a dict
         {agent_index: action} / [A, 2] array for external agents
-        (collision_avoidance_env.py:156-234)."""
+        (collision_avoidance_env.py:156-234).  A non-default ``dt``
+        re-specializes the jitted step (one extra compile per distinct
+        value), matching the reference's per-call dt override
+        (collision_avoidance_env.py:178-181)."""
+        cfg = self.cfg if dt is None else self.cfg.replace(dt=float(dt))
         ext = None
         if actions is not None:
             if isinstance(actions, dict):
@@ -134,7 +138,7 @@ class CollisionAvoidanceEnv(_BASE):
             else:
                 ext = np.asarray(actions)
         self.state, obs, rewards, game_over, info = env_step(
-            self.state, ext, self.cfg, self.params, self._active,
+            self.state, ext, cfg, self.params, self._active,
             self.sensors, self.states_in_obs, self.static_map,
         )
         self.episode_step_number += 1

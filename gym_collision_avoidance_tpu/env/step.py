@@ -211,13 +211,16 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
     faster on TPU (see obs.sensors.laserscan_sparse).
     """
     sensed = {}
-    needs_map = cfg.use_static_map and (
-        ("laserscan" in sensors and static_cells is None)
-        or "occupancy_grid" in sensors
+    needs_map = ("laserscan" in sensors and static_cells is None) or (
+        "occupancy_grid" in sensors
     )
     if needs_map:
-        if static_map is None:
-            raise ValueError("laserscan/occupancy_grid sensors need a static_map")
+        if static_map is None or not cfg.use_static_map:
+            raise ValueError(
+                "laserscan/occupancy_grid sensors need cfg.use_static_map=True "
+                "and a static_map array (or static_cells for the sparse "
+                "laserscan)"
+            )
         dynamic_map = map_grid.stamp_agents(
             static_map, state.pos, state.radius, state.valid, cfg
         )

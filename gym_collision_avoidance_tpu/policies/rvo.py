@@ -53,7 +53,11 @@ def rvo_kernel(state, cfg, params):
         use_noncoop = jax.vmap(
             lambda k: jax.random.bernoulli(k, 1.0 - abs(cfg.rvo_collab_coeff))
         )(keys)
-        collab = jnp.where(use_noncoop, 0.0, abs(cfg.rvo_collab_coeff)).astype(dtype)
+        # the adversarial branch keeps the RAW negative coefficient
+        # (RVOPolicy.py:88 passes Config.RVO_COLLAB_COEFF itself): a
+        # negative reciprocity share pushes the agent INTO the collision
+        # cone.
+        collab = jnp.where(use_noncoop, 0.0, cfg.rvo_collab_coeff).astype(dtype)
 
     new_vel = orca.orca_velocities(
         state.pos,

@@ -111,23 +111,92 @@ def test_rvo_anti_collab_mode():
     from gym_collision_avoidance_tpu.policies import rvo as rvo_policy
     from gym_collision_avoidance_tpu.core.state import init_state
 
-    cfg = EnvConfig(dtype="float64", rvo_collab_coeff=-0.5)
-    # head-on pair: an egoistic (coeff 0) agent keeps its preferred velocity
-    state = init_state(
-        cfg,
-        pos=np.array([[-2.0, 0.0], [2.0, 0.0]]),
-        goal=np.array([[2.0, 0.0], [-2.0, 0.0]]),
-        radius=np.array([0.4, 0.4]),
-        pref_speed=np.array([1.0, 1.0]),
-        rng=jax.random.PRNGKey(0),
-    )
-    state = state.replace(vel=jnp.asarray([[1.0, 0.0], [-1.0, 0.0]]))
-    # over many keys, both egoistic and collaborative behavior appear
-    deviations = []
+    # close, offset pair with zero current velocity: the ORCA constraint
+    # binds, so egoistic (coeff 0) and adversarial (coeff -0.5) draws give
+    # DIFFERENT actions (verified against the C++ oracle: with a feasible
+    # pref velocity, a negative coefficient steers toward the other agent).
+    def mk(coeff):
+        cfg = EnvConfig(dtype="float64", rvo_collab_coeff=coeff)
+        state = init_state(
+            cfg,
+            pos=np.array([[-1.0, 0.0], [1.0, 0.3]]),
+            goal=np.array([[2.0, 0.0], [-2.0, 0.3]]),
+            radius=np.array([0.4, 0.4]),
+            pref_speed=np.array([1.0, 1.0]),
+            rng=jax.random.PRNGKey(0),
+        )
+        # below-pref current speed: the coeff-0 line (through the current
+        # velocity) blocks the preferred velocity while the negative-coeff
+        # line does not — the two draws give different actions
+        state = state.replace(vel=jnp.asarray([[0.6, 0.0], [-0.6, 0.0]]))
+        return cfg, state
+
+    cfg0, state0 = mk(0.0)
+    action_ego = np.asarray(rvo_policy.rvo_kernel(state0, cfg0, None))[0]
+
+    cfg, state = mk(-0.5)
+    acts = []
     for k in range(16):
         st = state.replace(rng=jax.random.PRNGKey(k))
-        act = np.asarray(rvo_policy.rvo_kernel(st, cfg, None))
-        deviations.append(abs(act[0, 1]))
-    deviations = np.array(deviations)
-    assert (deviations < 1e-9).any(), "some keys should be egoistic (straight)"
-    assert (deviations > 1e-6).any(), "some keys should be collaborative (deviate)"
+        acts.append(tuple(np.round(
+            np.asarray(rvo_policy.rvo_kernel(st, cfg, None))[0], 9)))
+    distinct = set(acts)
+    assert len(distinct) == 2, distinct
+    assert tuple(np.round(action_ego, 9)) in distinct, (action_ego, distinct)
+
+
+def test_rvo_anti_collab_negative_coeff_matches_oracle():
+    """The adversarial branch must use the RAW negative coefficient
+    (RVOPolicy.py:88) — a negative reciprocity share steers INTO the
+    collision cone, unlike +|c| which is ordinary cooperation."""
+    from gym_collision_avoidance_tpu.ops import orca
+    from gym_collision_avoidance_tpu.utils import native_build
+
+    pos = np.array([[-2.0, 0.3], [2.0, 0.0]])
+    vel = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    pref_vel = vel.copy()
+    radius = np.array([0.4, 0.4])
+    max_speed = np.array([1.2, 1.2])
+    cpp = native_build.load_orca()
+    for coeff in (-0.5, -1.0):
+        ref = cpp(pos, vel, pref_vel, radius, max_speed,
+                  np.array([coeff, 0.5]), 0.2, 1e6, 2, 5.0)
+        ours = np.asarray(orca.orca_velocities(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(pref_vel),
+            jnp.asarray(radius), jnp.asarray(max_speed),
+            jnp.asarray([coeff, 0.5]), jnp.ones(2, bool), 0.2, 1e6, 5.0))
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+        # adversarial deviates in the opposite lateral direction vs
+        # cooperative
+        coop = cpp(pos, vel, pref_vel, radius, max_speed,
+                   np.array([abs(coeff), 0.5]), 0.2, 1e6, 2, 5.0)
+        assert np.sign(ref[0, 1]) != np.sign(coop[0, 1]) or ref[0, 1] == 0
+
+
+def test_autoreset_returns_fresh_obs_on_reset_steps():
+    import jax
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.env.step import env_reset
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+    from gym_collision_avoidance_tpu.policies import registry as P
+
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate", max_time_ratio=1.2)
+    pool = jnp.asarray(random_cases.scenario_pool(4, 2, seed=0, side_length=3.0),
+                       jnp.float32)
+    policy_id = np.full(2, P.NONCOOP, np.int32)
+    step = jax.jit(autoreset.make_autoreset_step(cfg, pool, policy_id))
+    state, _ = env_reset(autoreset.state_from_case(cfg, pool[0], policy_id), cfg)
+    counter = jnp.asarray(0, jnp.int32)
+    for _ in range(300):
+        state, counter, obs, rew, game_over = step(state, counter)
+        if bool(game_over):
+            break
+    assert bool(game_over)
+    # returned obs must describe the FRESH state (dist_to_goal of the new
+    # scenario, not ~0/terminal values of the finished one)
+    np.testing.assert_allclose(
+        np.asarray(obs["dist_to_goal"])[:, 0],
+        np.asarray(state.dist_to_goal),
+        atol=1e-6,
+    )
+    assert float(np.asarray(obs["dist_to_goal"]).min()) > 0.5
