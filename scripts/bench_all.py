@@ -112,6 +112,53 @@ def main():
         results.append(bench_config("ga3c4", cfg, sc, params, E // 4, S))
         print(json.dumps(results[-1]), flush=True)
 
+    if want("autoreset4"):
+        # steady-state "serving" loop: episodes reset in-graph from a
+        # scenario pool, so throughput includes reset + fresh-obs cost
+        import jax as _jax
+
+        from gym_collision_avoidance_tpu.env import autoreset
+        from gym_collision_avoidance_tpu.policies import registry as P
+        from gym_collision_avoidance_tpu.scenarios import random_cases
+
+        cfg = EnvConfig(dtype="float32", done_mode="evaluate")
+        pool = jnp.asarray(
+            random_cases.scenario_pool(64, 4, seed=0, side_length=4.0),
+            jnp.float32,
+        )
+        policy_id = np.full(4, P.NONCOOP, np.int32)
+        astep = autoreset.make_autoreset_step(cfg, pool, policy_id)
+        E2 = E
+
+        states = _jax.vmap(
+            lambda i: autoreset.state_from_case(cfg, pool[i % 64], policy_id)
+        )(jnp.arange(E2))
+        counters = jnp.arange(E2, dtype=jnp.int32)
+
+        def body(carry, _):
+            st, c = carry
+            st, c, obs, rew, go = _jax.vmap(astep)(st, c)
+            return (st, c), (jnp.mean(rew), jnp.sum(obs["dist_to_goal"]))
+
+        @_jax.jit
+        def run(carry):
+            return _jax.lax.scan(body, carry, None, length=S)
+
+        carry = (states, counters)
+        carry, _ = run(carry)
+        _jax.block_until_ready(carry[0])
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            carry, _m = run(carry)
+        _jax.block_until_ready(carry[0])
+        dt = time.perf_counter() - t0
+        rate = E2 * S * reps / dt
+        results.append({"config": "autoreset4", "num_envs": E2,
+                        "env_steps_per_sec": round(rate, 1),
+                        "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E2)))})
+        print(json.dumps(results[-1]), flush=True)
+
     if want("ga3c20_laser"):
         cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
                         agent_sorting_method="closest_last", use_static_map=True,
