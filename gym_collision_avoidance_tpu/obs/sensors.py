@@ -100,7 +100,16 @@ def laserscan_sparse(state, cfg, static_cells):
     TPU rationale: the gather path reads the map at every (agent x beam x
     range) sample — tens of millions of scalarized gathers per step, which
     dominates everything at scale.  This path is pure vector compares on the
-    VPU: [A, L, A+S] per range sample, no gather at all.
+    VPU, no gather at all — and fully vectorized over the range axis (a
+    scan over the 60 range samples runs tiny [A, L] steps sequentially and
+    leaves the VPU idle; one [A, L, R] pass keeps it fed).
+
+    The reference's cumsum==1 "first hit" rule (the LAST sample index whose
+    running hit-count equals 1 wins, numpy fancy-assignment order) is a
+    masked max over the range axis: cumsum is non-decreasing, so the
+    cnt==1 samples form one contiguous run and the max of their range
+    *values* (the exact host-computed arange entries, selected not
+    recomputed — bit-identical to indexing) is the answer.
 
     Args:
         static_cells: [S, 2] int32 occupied (i, j) cells of the *static*
@@ -131,51 +140,43 @@ def laserscan_sparse(state, cfg, static_cells):
 
     cell_valid = static_cells[:, 0] >= 0                        # [S]
 
-    def body(carry, inp):
-        cnt, idx = carry
-        r, k = inp
-        px = state.pos[:, None, 0] + r * cos_a                  # [A, L]
-        py = state.pos[:, None, 1] + r * sin_a
-        pts = jnp.stack([px, py], axis=-1)
-        ii, jj, in_map = map_grid.world_to_map(pts, cfg, (H, W))
+    # All (agent, beam, range) sample points at once: [A, L, R].
+    r3 = rsamples[None, None, :]
+    px = state.pos[:, None, None, 0] + r3 * cos_a[:, :, None]
+    py = state.pos[:, None, None, 1] + r3 * sin_a[:, :, None]
+    pts = jnp.stack([px, py], axis=-1)
+    ii, jj, in_map = map_grid.world_to_map(pts, cfg, (H, W))
 
-        # any agent disc contains the sample's cell  [A, L, A_other]
-        di = ii[:, :, None] - gi[None, None, :]
-        dj = jj[:, :, None] - gj[None, None, :]
-        in_disc = (
-            (di * di + dj * dj < r_cells_sq[None, None, :])
-            & disc_valid[None, None, :]
+    # any agent disc contains the sample's cell  [A, L, R, A_other]
+    di = ii[..., None] - gi[None, None, None, :]
+    dj = jj[..., None] - gj[None, None, None, :]
+    in_disc = (
+        (di * di + dj * dj < r_cells_sq[None, None, None, :])
+        & disc_valid[None, None, None, :]
+    )
+    # the ego's own disc is masked out of the whole map
+    # (LaserScanSensor.py:76-77)
+    eye = jnp.eye(A, dtype=bool)
+    in_ego = jnp.any(in_disc & eye[:, None, None, :], axis=-1)
+    agent_hit = jnp.any(in_disc, axis=-1)
+
+    # static occupied-cell list membership  [A, L, R, S]
+    if static_cells.shape[0] > 0:
+        static_hit = jnp.any(
+            (ii[..., None] == static_cells[None, None, None, :, 0])
+            & (jj[..., None] == static_cells[None, None, None, :, 1])
+            & cell_valid[None, None, None, :],
+            axis=-1,
         )
-        # the ego's own disc is masked out of the whole map
-        # (LaserScanSensor.py:76-77)
-        eye = jnp.eye(A, dtype=bool)
-        in_ego = jnp.any(in_disc & eye[:, None, :], axis=-1)
-        agent_hit = jnp.any(in_disc, axis=-1)
+    else:
+        static_hit = jnp.zeros_like(agent_hit)
 
-        # static occupied-cell list membership  [A, L, S]
-        if static_cells.shape[0] > 0:
-            static_hit = jnp.any(
-                (ii[:, :, None] == static_cells[None, None, :, 0])
-                & (jj[:, :, None] == static_cells[None, None, :, 1])
-                & cell_valid[None, None, :],
-                axis=-1,
-            )
-        else:
-            static_hit = jnp.zeros_like(agent_hit)
-
-        hit = (agent_hit | static_hit) & ~in_ego & in_map
-        cnt = cnt + hit.astype(jnp.int32)
-        idx = jnp.where(cnt == 1, k, idx)
-        return (cnt, idx), None
-
-    init = (
-        jnp.zeros((A, L), jnp.int32),
-        jnp.full((A, L), -1, jnp.int32),
+    hit = (agent_hit | static_hit) & ~in_ego & in_map           # [A, L, R]
+    cnt = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
+    best = jnp.max(
+        jnp.where(cnt == 1, jnp.broadcast_to(r3, cnt.shape), -1.0), axis=-1
     )
-    (cnt, idx), _ = jax.lax.scan(
-        body, init, (rsamples, jnp.arange(R, dtype=jnp.int32))
-    )
-    return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
+    return jnp.where(best >= 0, best, LASER_MAX_RANGE).astype(dtype)
 
 
 def occupancy_grid(state, cfg, dynamic_map):

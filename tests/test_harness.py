@@ -120,3 +120,46 @@ def test_formations_campaign(tmp_path):
     for _letter, stats, traj in out:
         assert stats["outcome"] == "all_at_goal"
     assert os.path.exists(tmp_path / "000_C_6agents.png")
+
+
+def test_batched_episodes_with_padded_mixed_sizes():
+    """Scenarios of different agent counts share one compiled step via
+    Scenario.pad_to; stats must reflect only the valid agents."""
+    from gym_collision_avoidance_tpu.harness import experiments
+
+    cfg = EnvConfig.evaluate(dtype="float32")
+    sc2 = presets.two_agents_swap().pad_to(4)
+    sc4 = presets.circle_scenario(4, radius=3.0, agent_radius=0.3)
+    stats = experiments.run_batched_episodes([sc2, sc4], cfg, max_steps=256)
+    assert stats[0]["num_agents"] == 2
+    assert stats[1]["num_agents"] == 4
+    assert stats[0]["time_to_goal"].shape == (2,)
+    assert stats[0]["outcome"] in ("collision", "all_at_goal", "stuck")
+
+
+def test_occupancy_grid_in_env_obs():
+    import jax.numpy as jnp
+    from gym_collision_avoidance_tpu.maps import grid as map_grid
+    from gym_collision_avoidance_tpu.core.state import init_state
+    from gym_collision_avoidance_tpu.env.step import env_reset
+    from gym_collision_avoidance_tpu.obs import spec as obs_spec
+
+    # occupancy_grid flows through sensors -> sensed dict -> obs key
+    obs_spec._OBS_FNS.setdefault(
+        "occupancy_grid", lambda s, c, sensed: sensed["occupancy_grid"]
+    )
+    cfg = EnvConfig(dtype="float32", use_static_map=True,
+                    map_x_width=10.0, map_y_width=10.0)
+    static = jnp.asarray(map_grid.load_static_map(
+        cfg, "/root/reference/gym_collision_avoidance/envs/world_maps/002.png"))
+    state = init_state(cfg, pos=np.zeros((2, 2)) + np.array([[0.5, 0.5], [-3, -3]]),
+                       goal=np.ones((2, 2)) * 3,
+                       radius=np.full(2, 0.3), pref_speed=np.ones(2))
+    state, obs = env_reset(
+        state, cfg, ("other_agents_states", "occupancy_grid"),
+        ("dist_to_goal", "occupancy_grid"), static,
+    )
+    assert obs["occupancy_grid"].shape == (2, 50, 50)
+    # agent near the central obstacle sees occupied cells; far corner agent
+    # sees its companion's disc only
+    assert int(np.asarray(obs["occupancy_grid"][0]).sum()) > 0
