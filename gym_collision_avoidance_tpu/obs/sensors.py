@@ -105,11 +105,13 @@ def laserscan_sparse(state, cfg, static_cells):
     leaves the VPU idle; one [A, L, R] pass keeps it fed).
 
     The reference's cumsum==1 "first hit" rule (the LAST sample index whose
-    running hit-count equals 1 wins, numpy fancy-assignment order) is a
-    masked max over the range axis: cumsum is non-decreasing, so the
-    cnt==1 samples form one contiguous run and the max of their range
-    *values* (the exact host-computed arange entries, selected not
-    recomputed — bit-identical to indexing) is the answer.
+    running hit-count equals 1 wins, numpy fancy-assignment order) reduces
+    to two min-reductions: with k1/k2 the first/second hit indices, the
+    cnt==1 run is [k1, k2-1] (or [k1, R-1] with a single hit), so the
+    answer index is k2-1, R-1, or miss.  The range *value* is then a
+    one-hot contraction against the host-computed sample table (selected,
+    never recomputed — bit-identical to indexing), cheaper on TPU than a
+    cumsum (reduce-window) over the range axis.
 
     Args:
         static_cells: [S, 2] int32 occupied (i, j) cells of the *static*
@@ -140,43 +142,59 @@ def laserscan_sparse(state, cfg, static_cells):
 
     cell_valid = static_cells[:, 0] >= 0                        # [S]
 
-    # All (agent, beam, range) sample points at once: [A, L, R].
-    r3 = rsamples[None, None, :]
-    px = state.pos[:, None, None, 0] + r3 * cos_a[:, :, None]
-    py = state.pos[:, None, None, 1] + r3 * sin_a[:, :, None]
+    # All (agent, range, beam) sample points at once: [A, R, L].  Beams sit
+    # in the MINOR axis on purpose — L is a multiple of the VPU's 128
+    # lanes, so every broadcast/reduce axis added below lands in sublane
+    # position and tiles without padding (A_other=20 in the minor axis
+    # wasted 84% of each lane tile and dominated the profile).
+    rr = rsamples[None, :, None]                                 # [1, R, 1]
+    px = state.pos[:, None, None, 0] + rr * cos_a[:, None, :]    # [A, R, L]
+    py = state.pos[:, None, None, 1] + rr * sin_a[:, None, :]
     pts = jnp.stack([px, py], axis=-1)
     ii, jj, in_map = map_grid.world_to_map(pts, cfg, (H, W))
 
-    # any agent disc contains the sample's cell  [A, L, R, A_other]
-    di = ii[..., None] - gi[None, None, None, :]
-    dj = jj[..., None] - gj[None, None, None, :]
+    # any agent disc contains the sample's cell  [A, R, A_other, L].
+    # This reduction is the hot loop at scale and profiles at VPU peak
+    # (~4 Tops/s) in this layout; int vs float square made no difference.
+    di = ii[:, :, None, :] - gi[None, None, :, None]
+    dj = jj[:, :, None, :] - gj[None, None, :, None]
     in_disc = (
-        (di * di + dj * dj < r_cells_sq[None, None, None, :])
-        & disc_valid[None, None, None, :]
+        (di * di + dj * dj < r_cells_sq[None, None, :, None])
+        & disc_valid[None, None, :, None]
     )
-    # the ego's own disc is masked out of the whole map
-    # (LaserScanSensor.py:76-77)
-    eye = jnp.eye(A, dtype=bool)
-    in_ego = jnp.any(in_disc & eye[:, None, None, :], axis=-1)
-    agent_hit = jnp.any(in_disc, axis=-1)
+    agent_hit = jnp.any(in_disc, axis=2)                         # [A, R, L]
 
-    # static occupied-cell list membership  [A, L, R, S]
+    # the ego's own disc is masked out of the whole map
+    # (LaserScanSensor.py:76-77) — a single [A, R, L] pass, no A_other axis
+    dei = ii - gi[:, None, None]
+    dej = jj - gj[:, None, None]
+    in_ego = (
+        (dei * dei + dej * dej < r_cells_sq[:, None, None])
+        & disc_valid[:, None, None]
+    )
+
+    # static occupied-cell list membership  [A, R, S, L]
     if static_cells.shape[0] > 0:
         static_hit = jnp.any(
-            (ii[..., None] == static_cells[None, None, None, :, 0])
-            & (jj[..., None] == static_cells[None, None, None, :, 1])
-            & cell_valid[None, None, None, :],
-            axis=-1,
+            (ii[:, :, None, :] == static_cells[None, None, :, 0, None])
+            & (jj[:, :, None, :] == static_cells[None, None, :, 1, None])
+            & cell_valid[None, None, :, None],
+            axis=2,
         )
     else:
         static_hit = jnp.zeros_like(agent_hit)
 
-    hit = (agent_hit | static_hit) & ~in_ego & in_map           # [A, L, R]
-    cnt = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
-    best = jnp.max(
-        jnp.where(cnt == 1, jnp.broadcast_to(r3, cnt.shape), -1.0), axis=-1
+    hit = (agent_hit | static_hit) & ~in_ego & in_map            # [A, R, L]
+    kk = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    BIG = R + 1
+    k1 = jnp.min(jnp.where(hit, kk, BIG), axis=1)                # first hit
+    k2 = jnp.min(jnp.where(hit & (kk > k1[:, None, :]), kk, BIG), axis=1)
+    ans_k = jnp.where(k1 >= BIG, -1, jnp.where(k2 >= BIG, R - 1, k2 - 1))
+    best = jnp.sum(
+        jnp.where(kk == ans_k[:, None, :], jnp.broadcast_to(rr, hit.shape), 0.0),
+        axis=1,
     )
-    return jnp.where(best >= 0, best, LASER_MAX_RANGE).astype(dtype)
+    return jnp.where(ans_k >= 0, best, LASER_MAX_RANGE).astype(dtype)
 
 
 def occupancy_grid(state, cfg, dynamic_map):

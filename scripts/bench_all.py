@@ -166,8 +166,10 @@ def main():
         sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
                                      policy="GA3C_CADRL")
         params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+        # natural (unpadded) cell list: an all-padding 64-row list costs
+        # [E, A, L, R, 64] dead compares in the sparse laserscan
         static_np = map_grid.load_static_map(cfg, None)
-        cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=64))
+        cells = jnp.asarray(map_grid.occupied_cell_list(static_np))
         results.append(
             bench_config("ga3c20_laser", cfg, sc, params, E // 16, S,
                          static_cells=cells,

@@ -26,7 +26,7 @@ cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
 sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3, policy="GA3C_CADRL")
 params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
 static_np = map_grid.load_static_map(cfg, None)
-cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=64))
+cells = jnp.asarray(map_grid.occupied_cell_list(static_np))
 
 state = sc.to_state(cfg)
 states = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape), state)
