@@ -553,9 +553,11 @@ def cadrl_kernel_batched(states, cfg, params):
         return jax.vmap(lambda h: _cadrl_prepare(h, state, cfg))(jnp.arange(A))
 
     states_nn, aux = jax.vmap(prep_env)(states)          # [E, A, 47, 31]
-    nn_raw = cadrl_net.forward_raw(
-        p, states_nn.reshape(E * A * NUM_ACTIONS, -1)
-    ).reshape(E, A, NUM_ACTIONS)
+    # no reshape: forward_raw contracts the last dim, and handing XLA the
+    # 4-D tensor (one logical [E*A*47, 31] matmul) lets it pick a single
+    # layout instead of materializing transposed copies around an explicit
+    # reshape (profiled at ~30% of the CADRL step).
+    nn_raw = cadrl_net.forward_raw(p, states_nn)         # [E, A, 47]
     return jax.vmap(jax.vmap(_cadrl_finish))(aux, nn_raw)
 
 
