@@ -103,6 +103,40 @@ def forward(params, x, max_seq_len: int | None = None):
     seq_len = xn[:, 0].astype(jnp.int32)                       # [B]
     host = xn[:, 1:5]                                          # [B, 4]
     others = xn[:, 5 : 5 + T * 7].reshape(B, T, 7)             # [B, T, 7]
+    return _trunk(params, seq_len, host, others)
+
+
+def forward_parts(params, scalars, others, max_seq_len: int | None = None):
+    """Structured-input forward, bit-identical to :func:`forward` on the
+    equivalent flat vector, for callers that hold the obs as
+    ``[B, 5]`` scalars + ``[B, K, 7]`` other-agent tuples (the step's
+    ``sensed_others`` cache).  Skips the flat round trip entirely — the
+    flat path flattens [B, K, 7] -> [B, 133], concatenates, normalizes,
+    then reshapes straight back to [B, K, 7], and the flatten forces a
+    layout copy of the sensor's einsum output on TPU.
+
+    Only valid when 5 + K*7 equals the checkpoint input width (no
+    crop/pad needed); callers fall back to :func:`forward` otherwise.
+    """
+    width = params["input_avg"].shape[0]
+    B, K = others.shape[0], others.shape[1]
+    assert 5 + K * 7 == width, (K, width)
+    avg_s = params["input_avg"][:5]
+    std_s = params["input_std"][:5]
+    avg_o = params["input_avg"][5:].reshape(K, 7)
+    std_o = params["input_std"][5:].reshape(K, 7)
+    dtype = params["lstm_kernel"].dtype
+    sn = ((scalars - avg_s) / std_s).astype(dtype)             # [B, 5]
+    on = ((others - avg_o) / std_o).astype(dtype)              # [B, K, 7]
+    T = K if max_seq_len is None else min(K, max_seq_len)
+    seq_len = sn[:, 0].astype(jnp.int32)
+    return _trunk(params, seq_len, sn[:, 1:5], on[:, :T])
+
+
+def _trunk(params, seq_len, host, others):
+    """Shared LSTM + dense trunk: ``others`` is [B, T, 7] normalized."""
+    B, T = others.shape[0], others.shape[1]
+    xn_dtype = others.dtype
 
     # Precompute the input-side gate contributions for all timesteps in one
     # big matmul (MXU-friendly); the scan then only does the small
@@ -125,8 +159,8 @@ def forward(params, x, max_seq_len: int | None = None):
         return (c, h), None
 
     init = (
-        jnp.zeros((B, HIDDEN), xn.dtype),
-        jnp.zeros((B, HIDDEN), xn.dtype),
+        jnp.zeros((B, HIDDEN), xn_dtype),
+        jnp.zeros((B, HIDDEN), xn_dtype),
     )
     ts = jnp.arange(T)
     (c, h), _ = jax.lax.scan(scan_body, init, (x_gates.swapaxes(0, 1), ts))

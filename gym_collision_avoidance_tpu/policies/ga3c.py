@@ -61,19 +61,35 @@ def ga3c_cadrl_kernel_batched(states, cfg, params):
     p = params[PARAMS_KEY]
     E, A = states.pos.shape[:2]
     N = E * A
+    K = states.sensed_others.shape[2]
 
-    vec = jnp.concatenate(
+    scalars = jnp.stack(
         [
-            states.num_other_agents_observed.astype(jnp.float32).reshape(N, 1),
-            states.dist_to_goal.astype(jnp.float32).reshape(N, 1),
-            states.heading_ego_frame.astype(jnp.float32).reshape(N, 1),
-            states.pref_speed.astype(jnp.float32).reshape(N, 1),
-            states.radius.astype(jnp.float32).reshape(N, 1),
-            states.sensed_others.astype(jnp.float32).reshape(N, -1),
+            states.num_other_agents_observed.astype(jnp.float32),
+            states.dist_to_goal.astype(jnp.float32),
+            states.heading_ego_frame.astype(jnp.float32),
+            states.pref_speed.astype(jnp.float32),
+            states.radius.astype(jnp.float32),
         ],
         axis=-1,
-    )
-    probs, _value = net.forward(p, vec, max_seq_len=A - 1)
+    ).reshape(N, 5)
+    width = p["input_avg"].shape[0]
+    if 5 + K * 7 == width:
+        # structured fast path: no [B, K, 7] -> [B, 133] flatten (which
+        # forces a layout copy of the sensor output) — see
+        # models.ga3c_cadrl.forward_parts
+        probs, _value = net.forward_parts(
+            p,
+            scalars,
+            states.sensed_others.astype(jnp.float32).reshape(N, K, 7),
+            max_seq_len=A - 1,
+        )
+    else:
+        vec = jnp.concatenate(
+            [scalars, states.sensed_others.astype(jnp.float32).reshape(N, -1)],
+            axis=-1,
+        )
+        probs, _value = net.forward(p, vec, max_seq_len=A - 1)
     idx = jnp.argmax(probs, axis=-1)
     table = jnp.asarray(registry.ga3c_actions_table(), states.pos.dtype)
     raw = table[idx]

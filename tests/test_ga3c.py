@@ -154,3 +154,18 @@ def test_bf16_fast_path_argmax_agreement():
     np.testing.assert_allclose(
         np.asarray(probsbf, np.float32), np.asarray(probs32), atol=0.05
     )
+
+
+def test_forward_parts_matches_flat():
+    # the structured-input fast path must reproduce the flat forward
+    # bit-for-bit (same normalization, same trunk, no crop/pad involved)
+    rng = np.random.RandomState(13)
+    x = _random_obs_batch(rng, 32).astype(np.float32)
+    p = net.load_params()
+    K = (p["input_avg"].shape[0] - 5) // 7
+    flat_p, flat_v = net.forward(p, x, max_seq_len=3)
+    part_p, part_v = net.forward_parts(
+        p, x[:, :5], x[:, 5:].reshape(-1, K, 7), max_seq_len=3
+    )
+    np.testing.assert_array_equal(np.asarray(flat_p), np.asarray(part_p))
+    np.testing.assert_array_equal(np.asarray(flat_v), np.asarray(part_v))
