@@ -96,3 +96,43 @@ def test_learning_ga3c_and_carrl_action_tables():
     np.testing.assert_allclose(mapped[0], [0.8 * ga3c_table[3, 0], ga3c_table[3, 1]])
     carrl_table = P.carrl_actions_table()
     np.testing.assert_allclose(mapped[1], carrl_table[10])
+
+
+def test_large_num_agents_sanity():
+    # LargeNumAgents analog (envs/config.py:236): 40 agents step without
+    # NaNs and the sensor count clips at K
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu.env.step import env_reset, env_step
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19)
+    sc = presets.circle_scenario(40, radius=10.0, agent_radius=0.2)
+    state, _ = env_reset(sc.to_state(cfg), cfg)
+    p0 = np.asarray(state.pos)
+    for _ in range(10):
+        state, obs, rew, go, _i = env_step(
+            state, None, cfg, None, sc.active_policies
+        )
+    assert np.isfinite(np.asarray(state.pos)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+    assert (np.asarray(state.num_other_agents_observed) <= 19).all()
+    assert np.linalg.norm(np.asarray(state.pos) - p0) > 1.0  # they moved
+
+
+def test_gymapi_dt_override_scales_motion():
+    from gym_collision_avoidance_tpu.env.gymapi import CollisionAvoidanceEnv
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    sc = presets.two_agents_swap()
+    env = CollisionAvoidanceEnv(EnvConfig(dtype="float64"), scenario=sc)
+    env.reset()
+    p0 = np.asarray(env.state.pos).copy()
+    env.step()                      # default dt = 0.2
+    d_full = np.linalg.norm(np.asarray(env.state.pos) - p0)
+
+    env.reset()
+    p0 = np.asarray(env.state.pos).copy()
+    env.step(dt=0.1)                # per-call override (half step)
+    d_half = np.linalg.norm(np.asarray(env.state.pos) - p0)
+    np.testing.assert_allclose(d_half, d_full / 2.0, rtol=1e-9)

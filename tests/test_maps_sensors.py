@@ -237,3 +237,53 @@ def test_env_step_sparse_laserscan_end_to_end():
         state, None, cfg, None, (2,), sensors_t, obs_keys, None, cells
     )
     assert np.isfinite(np.asarray(obs["laserscan"])).all()
+
+
+def test_laserscan_history_roll_matches_reference():
+    """Multi-step history semantics (LaserScanSensor.py:84-90): the stacked
+    scans must roll the same way as the reference's stateful sensor while
+    the agent moves."""
+    refsim.import_reference()
+    from gym_collision_avoidance.envs import Config as RefConfig
+    from gym_collision_avoidance.envs.sensors.LaserScanSensor import LaserScanSensor
+
+    from gym_collision_avoidance_tpu.env import step as step_mod
+
+    cfg = _cfg()
+    rng = np.random.RandomState(5)
+    radius = rng.uniform(0.2, 0.4, 2)
+    heading = np.array([0.3, -2.0])
+    positions = [
+        np.array([[0.0, -2.0], [1.5, 0.5]]),
+        np.array([[0.3, -1.6], [1.2, 0.6]]),
+        np.array([[0.7, -1.1], [0.9, 0.8]]),
+    ]
+
+    orig = RefConfig.USE_STATIC_MAP
+    RefConfig.USE_STATIC_MAP = True
+    try:
+        s = LaserScanSensor()
+        for pos in positions:
+            ref_map = _ref_map(MAP_PNG)
+            agents = _ref_agents(pos, radius, heading)
+            for a, h in zip(agents, heading):
+                a.heading_global_frame = h
+            ref_map.add_agents_to_map(agents)
+            ref_hist = s.sense(agents, 0, ref_map)
+    finally:
+        RefConfig.USE_STATIC_MAP = orig
+
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    state = init_state(cfg, pos=positions[0], goal=positions[0] + 5,
+                       radius=radius, pref_speed=np.ones(2), heading=heading)
+    for pos in positions:
+        state = state.replace(pos=jnp.asarray(pos))
+        state, obs = step_mod._sense_and_observe(
+            state, cfg, ("laserscan",), ("laserscan",), static
+        )
+    np.testing.assert_allclose(
+        np.asarray(state.laserscan_history)[0], np.asarray(ref_hist), atol=1e-9
+    )
+    # the three slots must differ (the agent moved between scans)
+    h = np.asarray(state.laserscan_history)[0]
+    assert not np.array_equal(h[0], h[2])
