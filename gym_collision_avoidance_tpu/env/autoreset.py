@@ -61,25 +61,53 @@ def make_autoreset_step(
         — vmap over envs for a batch (give each env a different starting
         counter, e.g. ``arange(E)``, to decorrelate scenarios).
     """
+    from gym_collision_avoidance_tpu.env.step import env_reset
+
     pool = jnp.asarray(pool)
     N = pool.shape[0]
     policy_id = jnp.asarray(policy_id, jnp.int32)
+    acc = jnp.dtype(cfg.dtype)
+
+    # Precompute every pool entry's freshly-reset state AND its first
+    # observation ONCE at build time.  The previous version re-ran
+    # init_state + the full reset sensor pass inside every step for every
+    # env (the branchless price of reset-where-done), which made the
+    # serving loop ~100x slower than the plain step.  Selecting a
+    # precomputed row by one-hot contraction is a tiny [E, N] x [N, ...]
+    # matmul instead.
+    pool_states, pool_obs = jax.vmap(
+        lambda case: env_reset(
+            state_from_case(cfg, case, policy_id), cfg, sensors, states_in_obs
+        )
+    )(pool)
+
+    def pick(onehot_f, leaf):
+        """Select one [N, ...] pool row by one-hot contraction (exact: a
+        single 1.0 coefficient against finite values; integers stay below
+        2^24 so the float round-trip is lossless)."""
+        if leaf.dtype == jnp.bool_:
+            return jnp.einsum("n,n...->...", onehot_f, leaf.astype(acc)) > 0.5
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.einsum("n,n...->...", onehot_f.astype(leaf.dtype), leaf)
+        if jnp.issubdtype(leaf.dtype, jnp.signedinteger):
+            v = jnp.einsum("n,n...->...", onehot_f, leaf.astype(acc))
+            return jnp.round(v).astype(leaf.dtype)
+        # uint PRNG keys don't survive a float contraction; the rng is
+        # overridden with the live stream below, so any row works.
+        return leaf[0]
 
     def step(state: EnvState, counter):
         state, obs, rewards, game_over, _info = env_step(
             state, None, cfg, params, active_policies, sensors, states_in_obs
         )
-        from gym_collision_avoidance_tpu.env.step import env_reset
 
         # Standard autoreset contract (cf. DummyVecEnv reset-on-done,
         # envs/vec_env.py:120-128): on reset steps the returned obs is the
         # NEW episode's first observation, matching the returned state.
-        fresh, fresh_obs = env_reset(
-            state_from_case(cfg, pool[counter % N], policy_id, rng=state.rng),
-            cfg,
-            sensors,
-            states_in_obs,
-        )
+        onehot_f = (jnp.arange(N) == counter % N).astype(acc)
+        fresh = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_states)
+        fresh = fresh.replace(rng=state.rng)
+        fresh_obs = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_obs)
 
         def sel(new, old):
             return jnp.where(jnp.reshape(game_over, (1,) * old.ndim), new, old)
