@@ -135,12 +135,17 @@ def laserscan_sparse(state, cfg, static_cells):
     sin_a = jnp.sin(angles)
 
     # Disc stamps of every agent (Map.add_agents_to_map semantics: only
-    # agents whose center is in-map stamp; radius in cells).
+    # agents whose center is in-map stamp; radius in cells).  Instead of
+    # carrying a per-other validity mask into the hot reduce (one extra
+    # vector AND per element of the peak-bound [A, R, A_other, L] pass),
+    # invalid discs get a sentinel row index far outside any map: di^2
+    # alone then exceeds any radius.  The sentinel is capped so
+    # di^2 + dj^2 stays below 2^31 (no int32 wraparound): |di| <= ~40200
+    # -> di^2 <= 1.62e9, and |dj| <= H+W cells keeps the sum safe.
     gi, gj, center_in_map = map_grid.world_to_map(state.pos, cfg, (H, W))
     r_cells_sq = (state.radius / cfg.map_grid_cell_size) ** 2
     disc_valid = center_in_map & state.valid                    # [A]
-
-    cell_valid = static_cells[:, 0] >= 0                        # [S]
+    gi = jnp.where(disc_valid, gi, 40000)
 
     # All (agent, range, beam) sample points at once: [A, R, L].  Beams sit
     # in the MINOR axis on purpose — L is a multiple of the VPU's 128
@@ -158,27 +163,23 @@ def laserscan_sparse(state, cfg, static_cells):
     # (~4 Tops/s) in this layout; int vs float square made no difference.
     di = ii[:, :, None, :] - gi[None, None, :, None]
     dj = jj[:, :, None, :] - gj[None, None, :, None]
-    in_disc = (
-        (di * di + dj * dj < r_cells_sq[None, None, :, None])
-        & disc_valid[None, None, :, None]
-    )
+    in_disc = di * di + dj * dj < r_cells_sq[None, None, :, None]
     agent_hit = jnp.any(in_disc, axis=2)                         # [A, R, L]
 
     # the ego's own disc is masked out of the whole map
     # (LaserScanSensor.py:76-77) — a single [A, R, L] pass, no A_other axis
     dei = ii - gi[:, None, None]
     dej = jj - gj[:, None, None]
-    in_ego = (
-        (dei * dei + dej * dej < r_cells_sq[:, None, None])
-        & disc_valid[:, None, None]
-    )
+    in_ego = dei * dei + dej * dej < r_cells_sq[:, None, None]
 
-    # static occupied-cell list membership  [A, R, S, L]
+    # static occupied-cell list membership  [A, R, S, L].  Padding rows are
+    # (-1, -1): only out-of-map samples can produce ii == -1, and those
+    # hits are erased by the `& in_map` below, so no explicit pad mask is
+    # needed in this pass.
     if static_cells.shape[0] > 0:
         static_hit = jnp.any(
             (ii[:, :, None, :] == static_cells[None, None, :, 0, None])
-            & (jj[:, :, None, :] == static_cells[None, None, :, 1, None])
-            & cell_valid[None, None, :, None],
+            & (jj[:, :, None, :] == static_cells[None, None, :, 1, None]),
             axis=2,
         )
     else:
