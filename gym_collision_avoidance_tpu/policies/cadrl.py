@@ -79,6 +79,9 @@ def _candidate_actions(s10):
     )                                                             # [40, 2]
 
     actions = jnp.concatenate([default[None], desired, zero, near], axis=0)
+    # note: rewriting this scatter as a column stack was measured 16%
+    # SLOWER end-to-end (the concat's layout choice propagates downstream);
+    # the .at-set stays
     return actions.at[:, 1].set(_mod_wrap(actions[:, 1]))
 
 
