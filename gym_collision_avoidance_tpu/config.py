@@ -67,6 +67,16 @@ class EnvConfig:
     laserscan_length: int = 512
     laserscan_num_past: int = 3
 
+    # --- CADRL value-net social norm (CADRLPolicy.py:22-23) ---
+    # "none" for the default no_constr net; "right"/"left" activate the
+    # passing-side penalty (nn_navigation_value_multi.py:829-894,
+    # 2420-2573) that the rotate_constr nets were trained with.
+    cadrl_passing_side: str = "none"
+    # "no_constr" (47-action free-heading set) or "rotate_constr"
+    # (38-slot dynamically-constrained set + clipped heading propagation,
+    # nn_navigation_value_multi.py:649-722, 1751-1777)
+    cadrl_mode: str = "no_constr"
+
     # --- RVO / ORCA (envs/config.py:84-86) ---
     rvo_time_horizon: float = 5.0
     rvo_collab_coeff: float = 0.5

@@ -24,6 +24,8 @@ class PolicySpec:
     agent_sorting_method: Optional[str] = None
     max_num_other_agents_observed: Optional[int] = None
     needs_params: Tuple[str, ...] = ()
+    # additional EnvConfig overrides, as (field, value) pairs (hashable)
+    extra_cfg: Tuple[Tuple[str, object], ...] = ()
 
 
 POLICY_SPECS: Dict[str, PolicySpec] = {
@@ -34,8 +36,34 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=19,
         needs_params=("ga3c_cadrl",),
     ),
+    # env_utils.py:475-480 (commented-out reference entry; checkpoint ships)
+    "GA3C-CADRL-4-LSTM": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_last",
+        max_num_other_agents_observed=19,
+        needs_params=("ga3c_cadrl:20190727_015942",),
+    ),
+    # second shipped 2019 run (checkpoints/run-20190727_192048-qedrf08y);
+    # unnamed in the reference registry
+    "GA3C-CADRL-10-LSTM-2": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_last",
+        max_num_other_agents_observed=19,
+        needs_params=("ga3c_cadrl:20190727_192048",),
+    ),
     # env_utils.py:481-488
     "CADRL": PolicySpec(policy_id=policies.CADRL, needs_params=("cadrl",)),
+    # the commented alternative net at CADRLPolicy.py:22 (mode =
+    # 'rotate_constr', passing_side = 'right', iteration = 1300): activates
+    # the passing-side social-norm cost in the lookahead
+    "CADRL-rotate-right": PolicySpec(
+        policy_id=policies.CADRL,
+        needs_params=("cadrl:rotate_constr_right",),
+        extra_cfg=(
+            ("cadrl_passing_side", "right"),
+            ("cadrl_mode", "rotate_constr"),
+        ),
+    ),
     "RVO": PolicySpec(policy_id=policies.RVO),
     "noncoop": PolicySpec(policy_id=policies.NONCOOP),
     "static": PolicySpec(policy_id=policies.STATIC),
@@ -43,17 +71,28 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
 
 
 def load_params(*param_keys: str) -> dict:
-    """Load the converted frozen checkpoints named in ``needs_params``."""
+    """Load the converted frozen checkpoints named in ``needs_params``.
+
+    A key ``"ga3c_cadrl:<name>"`` selects a specific converted checkpoint
+    (see ``models.ga3c_cadrl.CHECKPOINTS``); the weights still land under
+    the ``"ga3c_cadrl"`` params slot that the policy kernel reads, so one
+    env uses one GA3C checkpoint at a time (the reference's experiment
+    registry never mixes checkpoints within an env either).
+    """
     params = {}
     for key in set(param_keys):
-        if key == "ga3c_cadrl":
+        if key == "ga3c_cadrl" or key.startswith("ga3c_cadrl:"):
             from gym_collision_avoidance_tpu.models import ga3c_cadrl
 
-            params[key] = ga3c_cadrl.load_params()
-        elif key == "cadrl":
+            name = key.split(":", 1)[1] if ":" in key else "iros18"
+            params["ga3c_cadrl"] = ga3c_cadrl.load_params(
+                ga3c_cadrl.CHECKPOINTS[name]
+            )
+        elif key == "cadrl" or key.startswith("cadrl:"):
             from gym_collision_avoidance_tpu.models import cadrl
 
-            params[key] = cadrl.load_params()
+            name = key.split(":", 1)[1] if ":" in key else "no_constr"
+            params["cadrl"] = cadrl.load_params(cadrl.CHECKPOINTS[name])
         else:
             raise KeyError(f"unknown param set {key}")
     return params
@@ -68,4 +107,5 @@ def cfg_for_policy(name: str, base_cfg: EnvConfig) -> EnvConfig:
         overrides["agent_sorting_method"] = spec.agent_sorting_method
     if spec.max_num_other_agents_observed is not None:
         overrides["max_num_other_agents_observed"] = spec.max_num_other_agents_observed
+    overrides.update(dict(spec.extra_cfg))
     return base_cfg.replace(**overrides) if overrides else base_cfg

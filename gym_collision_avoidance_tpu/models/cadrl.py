@@ -21,9 +21,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_WEIGHTS_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "weights", "cadrl_4agent_iter1000.npz"
-)
+_WEIGHTS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# Both SA-CADRL value nets the reference ships
+# (CADRL/pickle_files/multi/): "no_constr" is what CADRLPolicy loads by
+# default (CADRLPolicy.py:23); "rotate_constr_right" is the commented
+# alternative at CADRLPolicy.py:22 and activates the passing-side cost
+# path (nn_navigation_value_multi.py:2420-2573) with passing_side='right'.
+CHECKPOINTS = {
+    "no_constr": os.path.join(_WEIGHTS_DIR, "weights", "cadrl_4agent_iter1000.npz"),
+    "rotate_constr_right": os.path.join(
+        _WEIGHTS_DIR, "weights", "cadrl_4agent_rotate_constr_right_iter1300.npz"
+    ),
+}
+
+_WEIGHTS_PATH = CHECKPOINTS["no_constr"]
 
 INPUT_DIM = 31
 HOST_BLOCK = 50
@@ -33,6 +45,7 @@ NUM_OTHER_SLOTS = 3
 
 @functools.lru_cache(maxsize=4)
 def load_params(path: str = _WEIGHTS_PATH, dtype=jnp.float64):
+    path = CHECKPOINTS.get(path, path)  # accept a checkpoint name or a path
     with np.load(path) as z:
         return {k: jnp.asarray(z[k], dtype) for k in z.files}
 

@@ -33,12 +33,24 @@ import numpy as np
 HIDDEN = 64
 NUM_ACTIONS = 11
 
-_WEIGHTS_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "weights", "ga3c_cadrl_iros18.npz"
-)
+_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
+
+# All three GA3C-CADRL checkpoints the reference ships
+# (envs/policies/GA3C_CADRL/checkpoints/): same architecture, different
+# training runs.  "iros18" is the published GA3C-CADRL-10 net
+# (env_utils.py:464-473); "20190727_015942" is the commented
+# GA3C-CADRL-4-LSTM registry entry (env_utils.py:475-480);
+# "20190727_192048" ships unnamed alongside it.
+CHECKPOINTS = {
+    "iros18": os.path.join(_WEIGHTS_DIR, "ga3c_cadrl_iros18.npz"),
+    "20190727_015942": os.path.join(_WEIGHTS_DIR, "ga3c_cadrl_20190727_015942.npz"),
+    "20190727_192048": os.path.join(_WEIGHTS_DIR, "ga3c_cadrl_20190727_192048.npz"),
+}
+
+_WEIGHTS_PATH = CHECKPOINTS["iros18"]
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def load_params(path: str = _WEIGHTS_PATH, dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Load the converted checkpoint as a dict-of-arrays pytree.
 
@@ -48,6 +60,7 @@ def load_params(path: str = _WEIGHTS_PATH, dtype=jnp.float32) -> Dict[str, jax.A
     obs). TPU bf16 matmuls accumulate in f32, so the discrete argmax
     matches f32 on >99%% of states.
     """
+    path = CHECKPOINTS.get(path, path)  # accept a checkpoint name or a path
     keep_f32 = ("input_avg", "input_std")
     with np.load(path) as z:
         return {

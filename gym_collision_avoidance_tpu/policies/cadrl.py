@@ -44,6 +44,9 @@ DT_FORWARD_DEFAULT = 1.0   # NN_navigation_value.dt_forward (:210)
 RADIUS_BUFFER = 0.0        # :211
 NUM_ACTIONS = 47
 NUM_SLOTS = 3              # the shipped net is a 4-agent net
+TURNING_LIMIT = jnp.pi / 6.0   # nn_navigation_value_multi.py:52
+# rotate_constr candidate layout: [2 default | 5 desired | 25 close | 6 turn]
+NUM_ACTIONS_ROTATE = 38
 
 
 def _mod_wrap(a):
@@ -85,15 +88,103 @@ def _candidate_actions(s10):
     return actions.at[:, 1].set(_mod_wrap(actions[:, 1]))
 
 
-def _update_states(s10, actions, dt):
+def _close_actions_table():
+    """The 25-row close-action grid (find_close_actions, :87-110):
+    [0, 0] plus speeds {1, .75, .5, .25} x 6 angles in [-pi/6, pi/6]."""
+    import numpy as np
+
+    angles = np.linspace(-np.pi / 6.0, np.pi / 6.0, 6, endpoint=True)
+    speeds = np.linspace(1.0, 0.0, 4, endpoint=False)
+    ag, sg = np.meshgrid(angles, speeds)
+    a = np.append([0.0], ag.flatten())
+    s = np.append([0.0], sg.flatten())
+    return np.stack([s, a], axis=-1)                              # [25, 2]
+
+
+_CLOSE_ACTIONS = _close_actions_table()
+
+
+def _candidate_actions_rotate(s10):
+    """The dynamically-constrained candidate set for mode='rotate_constr'
+    (find_actions_theta_dynConstr, :649-722, called with dt=1.0 at :1328).
+
+    The reference's set has data-dependent size (the default/desired blocks
+    are only stacked in when within the turning limit); here every block
+    occupies a static slot and a validity mask marks the conditional ones.
+    Slot order matches the reference's vstack order
+    [default, desired, close, turning] so first-max argmax tie-breaking is
+    preserved once invalid rows are masked to -inf.
+
+    Returns (actions [38, 2], valid [38] bool)."""
+    dtype = s10.dtype
+    pref = s10[5]
+    cur_heading = s10[4]
+    cur_speed = jnp.sqrt(s10[2] ** 2 + s10[3] ** 2)
+    angle_lim = TURNING_LIMIT                                     # dt = 1.0
+
+    desired_heading = jnp.arctan2(s10[7] - s10[1], s10[6] - s10[0])
+    desired_on = jnp.abs(_mod_wrap(desired_heading - cur_heading)) < angle_lim
+    default_heading = jnp.arctan2(s10[3], s10[2])
+    default_on = (
+        jnp.abs(_mod_wrap(default_heading - cur_heading)) < angle_lim
+    ) & (cur_speed > 0.05)
+
+    default_block = jnp.stack(
+        [
+            jnp.array([1.0, 0.75], dtype) * cur_speed,
+            jnp.full((2,), default_heading),
+        ],
+        axis=-1,
+    )
+    desired_block = jnp.stack(
+        [
+            jnp.array([1.0, 0.80, 0.60, 0.40, 0.20], dtype) * pref,
+            jnp.full((5,), desired_heading),
+        ],
+        axis=-1,
+    )
+    close = jnp.asarray(_CLOSE_ACTIONS, dtype)
+    close = jnp.stack([close[:, 0] * pref, close[:, 1] + cur_heading], axis=-1)
+    turn_frac = jnp.array([1.0, 0.66, 0.33, -0.33, -0.66, -1.0], dtype)
+    turning = jnp.stack(
+        [jnp.zeros((6,), dtype), turn_frac * TURNING_LIMIT + cur_heading],
+        axis=-1,
+    )
+
+    actions = jnp.concatenate([default_block, desired_block, close, turning])
+    actions = actions.at[:, 1].set(_mod_wrap(actions[:, 1]))
+    valid = jnp.concatenate(
+        [
+            jnp.repeat(default_on, 2),
+            jnp.repeat(desired_on, 5),
+            jnp.ones((25 + 6,), bool),
+        ]
+    )
+    return actions, valid
+
+
+def _update_states(s10, actions, dt, mode: str = "no_constr"):
     """Propagate the ego state under each action
-    (update_states, :1700-1794, mode no_constr; the turning-dir slot [9] is
+    (update_states, :1700-1794; the turning-dir slot [9] is
     also updated there but nothing downstream reads it — the encoder zeroes
-    it, pedData_processing_multi.py:336 — so it is skipped here)."""
+    it, pedData_processing_multi.py:336 — so it is skipped here).
+
+    ``mode`` selects the next-heading rule (:1751-1777): no_constr takes the
+    action heading verbatim; rotate_constr clips the heading change to the
+    turning limit pref_speed / 0.5 * dt."""
     n = actions.shape[0]
     c = jnp.cos(actions[:, 1])
     s = jnp.sin(actions[:, 1])
     ones = jnp.ones((n,), s10.dtype)
+    if mode == "no_constr":
+        heading_next = actions[:, 1]
+    elif mode == "rotate_constr":
+        limit = s10[5] / 0.5 * dt
+        heading_next = _mod_wrap(
+            s10[4] + jnp.clip(_mod_wrap(actions[:, 1] - s10[4]), -limit, limit)
+        )
+    else:
+        raise ValueError(f"unknown CADRL mode {mode!r}")
     # column stack (tile + scatter-update forces layout copies on TPU)
     return jnp.stack(
         [
@@ -101,7 +192,7 @@ def _update_states(s10, actions, dt):
             s10[1] + actions[:, 0] * s * dt,
             actions[:, 0] * c,
             actions[:, 0] * s,
-            actions[:, 1],
+            heading_next,
             s10[5] * ones,
             s10[6] * ones,
             s10[7] * ones,
@@ -198,6 +289,109 @@ def _action_rewards(s10, cur_dist, min_dists):
     rewards = jnp.where(close, jnp.clip(shaped, COLLISION_COST + 0.01, 0.0), rewards)
     # Full collision of the *current* position overrides everything (:783-785).
     return jnp.where(cur_dist < 0, COLLISION_COST, rewards)
+
+
+def _find_bad_inds(states_nn, side: str):
+    """Passing-side rule violations over an agent-centric batch
+    (find_bad_inds, nn_navigation_value_multi.py:2420-2573).  ``side`` is
+    static ('right' or 'left'); returns the union of the oppo/same/tangent
+    masks (the reference assigns the identical ``weight * penalty`` to each
+    group, :887-893, so the union loses nothing)."""
+    agent_vel = states_nn[:, 4:6]
+    agent_speed = jnp.linalg.norm(agent_vel, axis=1)
+    agent_heading = states_nn[:, 3]
+    dist_2_goal = states_nn[:, 0]
+    other_px = states_nn[:, 9]
+    other_py = states_nn[:, 10]
+    other_vel = states_nn[:, 7:9]
+    other_vx = other_vel[:, 0]
+    other_vy = other_vel[:, 1]
+    other_speed = jnp.linalg.norm(other_vel, axis=1)
+    other_heading = jnp.arctan2(other_vy, other_vx)
+
+    rel_vel = agent_vel - other_vel
+    rel_vel_angle = jnp.arctan2(rel_vel[:, 1], rel_vel[:, 0])
+    rel_pos_angle = jnp.arctan2(-other_py, -other_px)
+    rot_angle = _mod_wrap(rel_vel_angle - rel_pos_angle)
+
+    base = (dist_2_goal > 1) & (other_speed > EPS) & (agent_speed > EPS)
+    # Reference quirk (:2494, :2556): the tangent test overwrites
+    # agent_speed with the scalar states[0, 1] (row-0 pref_speed).
+    agent_speed_0 = states_nn[0, 1]
+    base_tangent = (dist_2_goal > 1) & (other_speed > EPS) & (agent_speed_0 > EPS)
+    other_rel_dist = jnp.sqrt(other_px**2 + other_py**2)
+
+    if side == "right":
+        same_fast = base & (agent_speed > other_speed + 0.1) & (
+            (other_py > -0.5) & (other_py < 2) & (other_px > 0) & (other_px < 3)
+        ) & (agent_heading < 0) & (jnp.abs(other_heading) < jnp.pi / 6.0)
+        same_slow = base & (agent_speed < other_speed - 0.1) & (
+            (other_py < 0) & (other_py > -2) & (other_px < 0) & (other_px > -3)
+        ) & (agent_heading > 0) & (jnp.abs(other_heading) < jnp.pi / 6.0)
+        oppo = base & (
+            (other_py < 0) & (other_py > -2) & (other_px > 0) & (other_px < 5)
+        ) & (agent_heading > EPS) & (other_heading < -5.0 * jnp.pi / 6.0)
+        tangent = base_tangent & (other_px > 0) & (other_rel_dist < 3) & (
+            rot_angle < 0
+        ) & (jnp.abs(other_heading) > jnp.pi / 4.0) & (
+            agent_speed_0 > other_speed - 0.2
+        )
+    elif side == "left":
+        same_fast = base & (agent_speed > other_speed + 0.1) & (
+            (other_py > -2) & (other_py < 0.5) & (other_px > 0) & (other_px < 3)
+        ) & (agent_heading > 0) & (jnp.abs(other_heading) < jnp.pi / 6.0)
+        same_slow = base & (agent_speed < other_speed - 0.1) & (
+            (other_py < 2) & (other_py > 0) & (other_px < 0) & (other_px > -3)
+        ) & (agent_heading > 0) & (jnp.abs(other_heading) < jnp.pi / 6.0)
+        oppo = base & (
+            (other_py < 2) & (other_py > 0) & (other_px > 0) & (other_px < 5)
+        ) & (agent_heading < EPS) & (other_heading > 5.0 * jnp.pi / 6.0)
+        tangent = base_tangent & (other_px > 0) & (other_rel_dist < 3) & (
+            rot_angle > 0
+        ) & (jnp.abs(other_heading) > jnp.pi / 4.0) & (
+            agent_speed_0 > other_speed - 0.2
+        )
+    else:
+        raise ValueError(f"passing side must be 'right' or 'left', got {side!r}")
+    return same_fast | same_slow | oppo | tangent
+
+
+# training_passing_side_weight (nn_navigation_value_multi.py:214)
+PASSING_SIDE_WEIGHT = 0.5
+
+
+def _passing_side_cost(
+    s10, agent_next, others_s10, others_next, present, side: str
+):
+    """Social-norm penalty added to the 47 action rewards
+    (find_passing_side_cost, nn_navigation_value_multi.py:829-894): encode
+    the propagated ego states against the *closest* propagated other, find
+    rule-violating actions, and charge ``weight * getting_close_penalty``.
+
+    ``others_next`` is the already-propagated [3, 10] slot array from the
+    lookahead (update_state semantics match, :857-861)."""
+    dtype = s10.dtype
+    # closest other by current clearance, no buffer (:846-856)
+    d2o = jnp.where(
+        present,
+        jnp.linalg.norm(others_s10[:, 0:2] - s10[0:2], axis=1)
+        - others_s10[:, 8]
+        - s10[8],
+        jnp.inf,
+    )
+    sel = (jnp.arange(NUM_SLOTS) == jnp.argmin(d2o)).astype(dtype)
+    other_next = sel @ others_next                                # [10]
+    # encode vs a single other in slot 0 (others list of length 1, :862-868;
+    # the encoder's closest-to-slot-0 reorder is the identity here)
+    others_stack = jnp.broadcast_to(other_next, (NUM_SLOTS,) + other_next.shape)
+    present_one = jnp.arange(NUM_SLOTS) == 0
+    states_nn = _encode(agent_next, others_stack, present_one)    # [47, 31]
+    bad = _find_bad_inds(states_nn, side)
+
+    d = jnp.linalg.norm(s10[0:2] - s10[6:8])
+    v = s10[5]
+    gcp = GAMMA ** (d / DT_NORMAL) * (1.0 - GAMMA ** (-v / DT_NORMAL))
+    return jnp.where(bad, PASSING_SIDE_WEIGHT * gcp, jnp.zeros((), dtype))
 
 
 def _encode(agent_next, others_next, others_present):
@@ -369,7 +563,11 @@ def _cadrl_prepare(h, state, cfg):
         jnp.maximum(DT_FORWARD_DEFAULT, 0.5 / pref), dist_to_goal / pref
     )
 
-    actions = _candidate_actions(s10)                             # [47, 2]
+    if cfg.cadrl_mode == "rotate_constr":
+        actions, action_valid = _candidate_actions_rotate(s10)    # [38, 2]
+    else:
+        actions = _candidate_actions(s10)                         # [47, 2]
+        action_valid = jnp.ones((actions.shape[0],), bool)
 
     # --- collisions vs each present other (:1005-1017) ---
     def per_other(other_s10, other_act):
@@ -392,8 +590,17 @@ def _cadrl_prepare(h, state, cfg):
     action_rewards = _action_rewards(s10, cur_dist, min_dists)
 
     # --- propagate ego + others one lookahead step ---
-    agent_next = _update_states(s10, actions, dt_forward)         # [47, 10]
+    agent_next = _update_states(s10, actions, dt_forward, cfg.cadrl_mode)
     others_next = _update_states_others(others_s10, others_action, dt_forward)
+
+    # social-norm penalty folded into the action rewards (:1188-1223);
+    # identically zero for passing_side='none' (find_bad_inds returns
+    # empty index lists there), so the branch is compiled out.
+    if cfg.cadrl_passing_side != "none":
+        action_rewards = action_rewards + _passing_side_cost(
+            s10, agent_next, others_s10, others_next, present,
+            cfg.cadrl_passing_side,
+        )
 
     d_next = jnp.linalg.norm(agent_next[:, 0:2] - agent_next[:, 6:8], axis=1)
     reached = (d_next < DIST_2_GOAL_THRES) & (min_dists > GETTING_CLOSE_RANGE)
@@ -402,10 +609,10 @@ def _cadrl_prepare(h, state, cfg):
     # --- encoder reorder: closest other to slot 0, measured from the first
     # NN-queried row's next position (pedData reorder uses agent_states[0],
     # pedData_processing_multi.py:268-277, 377-379) ---
-    first_sel = jnp.argmax(needs_nn)                              # 0 if none
+    first_sel = jnp.argmax(needs_nn & action_valid)               # 0 if none
     # one-hot contraction instead of agent_next[first_sel] (gathers
     # scalarize on TPU)
-    sel_onehot = (jnp.arange(NUM_ACTIONS) == first_sel).astype(dtype)
+    sel_onehot = (jnp.arange(actions.shape[0]) == first_sel).astype(dtype)
     first_pos = sel_onehot @ agent_next[:, 0:2]                   # [2]
     d_reorder = jnp.where(
         present,
@@ -418,6 +625,7 @@ def _cadrl_prepare(h, state, cfg):
     states_nn = _encode(agent_next, others_next_r, present_r)     # [47, 31]
     aux = {
         "actions": actions,
+        "action_valid": action_valid,
         "action_rewards": action_rewards,
         "if_collide": if_collide,
         "reached": reached,
@@ -449,6 +657,10 @@ def _cadrl_finish(aux, nn_raw):
     values = aux["action_rewards"] + GAMMA ** (
         dt_vec * aux["pref"] / DT_NORMAL
     ) * state_values
+
+    # candidate rows that don't exist in the reference's dynamic action set
+    # (rotate_constr conditional blocks) can never win
+    values = jnp.where(aux["action_valid"], values, -jnp.inf)
 
     best = jnp.argmax(values)
     best_action = actions[best]

@@ -54,6 +54,54 @@ def test_forward_matches_tf(tf_net):
     assert (ref_idx == our_idx).mean() == 1.0
 
 
+@pytest.mark.parametrize(
+    "name,ckpt",
+    [
+        (
+            "20190727_015942",
+            "/root/reference/gym_collision_avoidance/envs/policies/GA3C_CADRL/"
+            "checkpoints/run-20190727_015942-jzuhlntn/network_01490000",
+        ),
+        (
+            "20190727_192048",
+            "/root/reference/gym_collision_avoidance/envs/policies/GA3C_CADRL/"
+            "checkpoints/run-20190727_192048-qedrf08y/network_01900000",
+        ),
+    ],
+)
+def test_extra_checkpoints_match_tf(name, ckpt):
+    """The two 2019 runs the reference ships alongside IROS18 (the
+    commented GA3C-CADRL-4-LSTM registry entry, env_utils.py:475-480)."""
+    refsim.import_reference()
+    from gym_collision_avoidance.envs.policies.GA3C_CADRL import network
+
+    nn = network.NetworkVP_rnn("/cpu:0", f"network_{name}", network.Actions().num_actions)
+    nn.simple_load(ckpt)
+    rng = np.random.RandomState(11)
+    x = _random_obs_batch(rng, 32)
+    ref_probs = nn.predict_p(x)
+    probs, _ = net.forward(net.load_params(net.CHECKPOINTS[name]), x.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(probs), ref_probs, atol=2e-5)
+    assert (np.argmax(ref_probs, axis=1) == np.argmax(np.asarray(probs), axis=1)).mean() == 1.0
+
+
+def test_registry_selects_checkpoint():
+    """harness registry keys 'ga3c_cadrl:<name>' land the right weights
+    under the shared 'ga3c_cadrl' params slot."""
+    from gym_collision_avoidance_tpu.harness import registry as hreg
+
+    p = hreg.load_params("ga3c_cadrl:20190727_015942")
+    q = net.load_params(net.CHECKPOINTS["20190727_015942"])
+    np.testing.assert_array_equal(
+        np.asarray(p["ga3c_cadrl"]["layer1_kernel"]), np.asarray(q["layer1_kernel"])
+    )
+    base = hreg.load_params("ga3c_cadrl")
+    iros = net.load_params()
+    np.testing.assert_array_equal(
+        np.asarray(base["ga3c_cadrl"]["layer1_kernel"]), np.asarray(iros["layer1_kernel"])
+    )
+
+
 def test_forward_zero_others(tf_net):
     # seq_len = 0: LSTM state stays zero (dynamic_rnn copy-through).
     x = np.zeros((3, 138))
