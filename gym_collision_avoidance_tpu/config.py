@@ -99,6 +99,12 @@ class EnvConfig:
     # integrating dynamics (envs/collision_avoidance_env.py:304-306); we
     # replicate that cast in parity mode.
     cast_actions_to_f32: bool = True
+    # Bitwise-parity mode (CPU float64 validation only): routes atan2
+    # through host numpy so trajectories match the reference simulator
+    # bit-for-bit (XLA's CPU atan2 is 1 ulp off libm on ~8% of inputs —
+    # the only divergence source; cos/sin/sqrt agree exactly).  Leave off
+    # for TPU runs: pure_callback forces host round-trips.
+    strict_parity: bool = False
 
     # env-wide action limits applied to learning policies
     # (envs/collision_avoidance_env.py:88-91)

@@ -31,7 +31,42 @@ DYNAMICS_NAMES = {
 MAX_TURN_RATE = 3.0
 
 
-def unicycle_step(pos, heading, action, dt, *, max_turn_rate=None):
+def _np_wrap(a):
+    import numpy as np
+
+    # identical arithmetic to the reference's scalar while-loop
+    # (envs/util.py:141-146) for |a| < 7 pi
+    for _ in range(3):
+        a = np.where(a >= np.pi, a - 2 * np.pi, a)
+        a = np.where(a < -np.pi, a + 2 * np.pi, a)
+    return a
+
+
+def _np_unicycle_step(pos, heading, action, dt, max_turn_rate):
+    """Host-numpy unicycle step, replicating ``UnicycleDynamics.step``
+    (UnicycleDynamics.py:27-39) operation for operation.  Used by
+    strict-parity mode: XLA's CPU backend contracts ``a*b + c`` chains into
+    FMAs inside fusions (measured ~9% of position updates land 1 ulp off
+    numpy), which no graph-level barrier prevents — so the bitwise path
+    runs the arithmetic on the host exactly as the reference does."""
+    import numpy as np
+
+    sel_speed = action[..., 0]
+    dheading = action[..., 1]
+    if max_turn_rate is not None:
+        dheading = np.clip(dheading / dt, -max_turn_rate, max_turn_rate) * dt
+    sel_heading = _np_wrap(dheading + heading)
+    c = np.cos(sel_heading)
+    s = np.sin(sel_heading)
+    dx = sel_speed * c * dt
+    dy = sel_speed * s * dt
+    new_pos = pos + np.stack([dx, dy], axis=-1)
+    new_vel = np.stack([sel_speed * c, sel_speed * s], axis=-1)
+    delta = _np_wrap(sel_heading - heading)
+    return new_pos, new_vel, sel_speed, sel_heading, delta
+
+
+def unicycle_step(pos, heading, action, dt, *, max_turn_rate=None, exact=False):
     """Integrate one unicycle step for a batch of agents.
 
     Mirrors ``UnicycleDynamics.step`` (UnicycleDynamics.py:27-39): the agent
@@ -50,6 +85,24 @@ def unicycle_step(pos, heading, action, dt, *, max_turn_rate=None):
         (new_pos [...,2], new_vel [...,2], new_speed [...],
          new_heading [...], delta_heading [...])
     """
+    if exact:
+        import functools
+
+        shp = lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+        batch = heading.shape
+        out_shapes = (
+            shp(pos), shp(pos),
+            jax.ShapeDtypeStruct(batch, pos.dtype),
+            jax.ShapeDtypeStruct(batch, pos.dtype),
+            jax.ShapeDtypeStruct(batch, pos.dtype),
+        )
+        return jax.pure_callback(
+            functools.partial(_np_unicycle_step, max_turn_rate=max_turn_rate),
+            out_shapes,
+            pos, heading, action, dt,
+            vmap_method="broadcast_all",
+        )
+
     selected_speed = action[..., 0]
     dheading = action[..., 1]
     if max_turn_rate is not None:
@@ -81,7 +134,7 @@ def turning_dir_update(turning_dir, selected_heading):
     return jnp.where(near_zero, branch_zero, jnp.where(opposite, branch_opp, branch_decay))
 
 
-def step_all(pos, vel, speed, heading, delta_heading, turning_dir, dynamics_id, action, dt):
+def step_all(pos, vel, speed, heading, delta_heading, turning_dir, dynamics_id, action, dt, exact=False):
     """Apply every dynamics model and select per-agent by ``dynamics_id``.
 
     EXTERNAL agents keep their current state untouched (the reference's
@@ -91,9 +144,11 @@ def step_all(pos, vel, speed, heading, delta_heading, turning_dir, dynamics_id, 
     Returns:
         (pos, vel, speed, heading, delta_heading, turning_dir) after the step.
     """
-    u_pos, u_vel, u_speed, u_heading, u_dh = unicycle_step(pos, heading, action, dt)
+    u_pos, u_vel, u_speed, u_heading, u_dh = unicycle_step(
+        pos, heading, action, dt, exact=exact
+    )
     m_pos, m_vel, m_speed, m_heading, m_dh = unicycle_step(
-        pos, heading, action, dt, max_turn_rate=MAX_TURN_RATE
+        pos, heading, action, dt, max_turn_rate=MAX_TURN_RATE, exact=exact
     )
 
     is_uni = dynamics_id == UNICYCLE
@@ -123,17 +178,53 @@ def new_heading_cmd(action, heading):
     return maths.wrap(action[..., 1] + heading)
 
 
-def update_ego_frame(pos, goal, heading, vel):
+def _np_update_ego_frame(pos, goal, heading, vel):
+    """Host-numpy ego-frame refresh, replicating ``Agent.get_ref``
+    (agent.py:329-349) + ``Dynamics.update_ego_frame`` (Dynamics.py:24-41)
+    op for op (strict-parity mode; see _np_unicycle_step for why)."""
+    import numpy as np
+
+    gd = goal - pos
+    dist = np.sqrt(gd[..., 0] ** 2 + gd[..., 1] ** 2)
+    ref_prll = np.where(
+        (dist > 1e-8)[..., None], gd / np.maximum(dist, 1e-30)[..., None], gd
+    )
+    ref_orth = np.stack([-ref_prll[..., 1], ref_prll[..., 0]], axis=-1)
+    ref_angle = np.arctan2(ref_prll[..., 1], ref_prll[..., 0])
+    heading_ego = _np_wrap(heading - ref_angle)
+    cur_speed = np.sqrt(vel[..., 0] ** 2 + vel[..., 1] ** 2)
+    vel_ego = np.stack(
+        [cur_speed * np.cos(heading_ego), cur_speed * np.sin(heading_ego)],
+        axis=-1,
+    )
+    return ref_prll, ref_orth, dist, heading_ego, vel_ego
+
+
+def update_ego_frame(pos, goal, heading, vel, exact: bool = False):
     """Recompute the goal-aligned ego frame after a dynamics step.
 
     Mirrors ``Dynamics.update_ego_frame`` (envs/dynamics/Dynamics.py:24-41).
+    ``exact`` runs the whole refresh on the host via numpy so the result is
+    bit-identical to the reference (strict-parity mode).
 
     Returns:
         (ref_prll [...,2], ref_orth [...,2], dist_to_goal [...],
          heading_ego [...], vel_ego [...,2])
     """
+    if exact:
+        batch = jnp.shape(heading)
+        dtype = jnp.result_type(pos)
+        vec = jax.ShapeDtypeStruct(batch + (2,), dtype)
+        sca = jax.ShapeDtypeStruct(batch, dtype)
+        return jax.pure_callback(
+            _np_update_ego_frame,
+            (vec, vec, sca, sca, vec),
+            pos, goal, heading, vel,
+            vmap_method="broadcast_all",
+        )
+
     ref_prll, ref_orth, dist_to_goal = maths.goal_frame_axes(pos, goal)
-    ref_angle = jnp.arctan2(ref_prll[..., 1], ref_prll[..., 0])
+    ref_angle = maths.arctan2(ref_prll[..., 1], ref_prll[..., 0], exact=exact)
     heading_ego = maths.wrap(heading - ref_angle)
     cur_speed = maths.norm2(vel)
     vel_ego = jnp.stack(

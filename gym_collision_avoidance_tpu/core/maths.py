@@ -28,6 +28,36 @@ def wrap(angle: jax.Array) -> jax.Array:
     return angle
 
 
+def _np_arctan2(y, x):
+    import numpy as np
+
+    return np.arctan2(y, x)
+
+
+def arctan2(y: jax.Array, x: jax.Array, exact: bool = False) -> jax.Array:
+    """``atan2`` with an optional bit-exact libm mode.
+
+    XLA's CPU ``atan2`` lowering disagrees with numpy's libm ``atan2`` by
+    1 ulp on ~8% of inputs (measured), which is the sole obstacle to
+    bitwise trajectory parity with the reference simulator.  With
+    ``exact=True`` (strict-parity mode, CPU-only validation) the call is
+    routed to host numpy via ``pure_callback``; the default compiles to the
+    native XLA op (the TPU fast path)."""
+    if not exact:
+        return jnp.arctan2(y, x)
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+    shape = jnp.broadcast_shapes(y.shape, x.shape)
+    dtype = jnp.result_type(y, x)
+    return jax.pure_callback(
+        _np_arctan2,
+        jax.ShapeDtypeStruct(shape, dtype),
+        y,
+        x,
+        vmap_method="broadcast_all",
+    )
+
+
 def l2norm(dx: jax.Array, dy: jax.Array) -> jax.Array:
     """sqrt(dx^2 + dy^2), elementwise (envs/util.py:17-21)."""
     return jnp.sqrt(dx * dx + dy * dy)

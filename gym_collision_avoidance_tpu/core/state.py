@@ -127,7 +127,9 @@ def init_state(
     A = pos.shape[0]
 
     vec_to_goal = goal - pos
-    auto_heading = jnp.arctan2(vec_to_goal[:, 1], vec_to_goal[:, 0])
+    auto_heading = maths.arctan2(
+        vec_to_goal[:, 1], vec_to_goal[:, 0], exact=cfg.strict_parity
+    )
     if heading is None:
         heading = auto_heading
     else:
@@ -144,7 +146,7 @@ def init_state(
     from gym_collision_avoidance_tpu.core import dynamics as dyn
 
     ref_prll, ref_orth, dist_to_goal, heading_ego, vel_ego = dyn.update_ego_frame(
-        pos, goal, heading, vel
+        pos, goal, heading, vel, exact=cfg.strict_parity
     )
 
     if policy_id is None:

@@ -71,6 +71,7 @@ def _take_actions(state: EnvState, actions: jax.Array, cfg: EnvConfig) -> EnvSta
         state.dynamics_id,
         actions,
         dt,
+        exact=cfg.strict_parity,
     )
     pos = jnp.where(active[:, None], new_pos, state.pos)
     # Frozen agents get their velocity zeroed (envs/agent.py:207).
@@ -84,7 +85,7 @@ def _take_actions(state: EnvState, actions: jax.Array, cfg: EnvConfig) -> EnvSta
     # Ego-frame refresh (envs/agent.py:225 -> Dynamics.update_ego_frame);
     # frozen agents keep stale ego-frame values.
     ref_prll, ref_orth, dist_to_goal, heading_ego, vel_ego = dyn.update_ego_frame(
-        pos, state.goal, heading, vel
+        pos, state.goal, heading, vel, exact=cfg.strict_parity
     )
     ref_prll = jnp.where(active[:, None], ref_prll, state.ref_prll)
     ref_orth = jnp.where(active[:, None], ref_orth, state.ref_orth)

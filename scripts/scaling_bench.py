@@ -1,0 +1,118 @@
+"""Weak-scaling measurement for the distributed env batch.
+
+Measures rollout throughput at mesh sizes 1/2/4/8 with a fixed env count
+per device (weak scaling), using the shard_map rollout from
+parallel/distributed.py, and writes the table to SCALING.md.
+
+On the CI/virtual mesh (``--virtual 8``: 8 XLA host-platform devices on
+one CPU) the devices share physical cores, so per-device throughput is
+NOT expected to stay flat — the measurement there validates that the
+collectives + sharding machinery add no pathological overhead and gives
+the communication-overhead curve.  On real TPU meshes each device is a
+physical chip and the same harness measures true scaling efficiency.
+
+Usage:
+    python scripts/scaling_bench.py --virtual 8 --envs-per-device 32 \
+        --steps 64 [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--virtual", type=int, default=None,
+                   help="force N virtual CPU devices (test mode)")
+    p.add_argument("--envs-per-device", type=int, default=32)
+    p.add_argument("--num-agents", type=int, default=4)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--out", default=None, help="write markdown table here")
+    args = p.parse_args(argv)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
+    if args.virtual:
+        flags = [
+            f for f in os.environ.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")
+        ]
+        flags.append(f"--xla_force_host_platform_device_count={args.virtual}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import numpy as np
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.env.step import env_reset
+    from gym_collision_avoidance_tpu.parallel import distributed as dist
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig.evaluate(dtype="float32")
+    sc = presets.circle_scenario(args.num_agents, radius=4.0, agent_radius=0.4)
+    base, _ = env_reset(sc.to_state(cfg), cfg)
+
+    all_devices = jax.devices()
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(all_devices)]
+    rows = []
+    for n in sizes:
+        mesh = dist.global_mesh(devices=all_devices[:n])
+        E = args.envs_per_device * n
+        run = dist.make_distributed_rollout(
+            cfg, args.steps, mesh, active_policies=sc.active_policies
+        )
+        best = 0.0
+        for _ in range(args.reps):
+            states = dist.host_local_batch(lambda i: base, E, mesh)
+            t0 = time.perf_counter()
+            final, metrics = run(states)
+            jax.block_until_ready(metrics)
+            dtime = time.perf_counter() - t0
+            best = max(best, E * args.num_agents * args.steps / dtime)
+        rows.append({"devices": n, "envs": E, "agent_steps_per_s": best,
+                     "per_device": best / n})
+        print(json.dumps(rows[-1]))
+
+    base_rate = rows[0]["per_device"]
+    for r in rows:
+        r["efficiency"] = r["per_device"] / base_rate
+
+    if args.out:
+        lines = [
+            "# Weak-scaling measurement (shard_map rollout)",
+            "",
+            f"Config: {args.envs_per_device} envs/device x {args.num_agents} "
+            f"agents, {args.steps}-step scan, best of {args.reps} reps.",
+            "Platform: "
+            + (f"{args.virtual} virtual CPU devices (shared physical cores "
+               f"-- measures sharding/collective overhead, see module "
+               f"docstring)" if args.virtual else
+               f"{len(all_devices)}x {all_devices[0].device_kind}"),
+            "",
+            "| devices | envs | agent-steps/s | per-device | efficiency |",
+            "|---:|---:|---:|---:|---:|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['devices']} | {r['envs']} | {r['agent_steps_per_s']:.3e} "
+                f"| {r['per_device']:.3e} | {r['efficiency']:.2f} |"
+            )
+        lines.append("")
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

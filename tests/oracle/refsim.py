@@ -73,10 +73,17 @@ def make_two_agent_swap_env():
 
     env = CollisionAvoidanceEnv()
     agents = [
-        Agent(-3.0, -3.0, 3.0, 3.0, 0.5, 1.0, 0.0, NonCooperativePolicy,
-              UnicycleDynamics, [OtherAgentsStatesSensor], 0),
-        Agent(3.0, 3.0, -3.0, -3.0, 0.5, 1.0, np.pi, NonCooperativePolicy,
-              UnicycleDynamics, [OtherAgentsStatesSensor], 1),
+        # headings as np.float64 scalars: the reference's own agent
+        # construction produces np.float64 headings (test_cases.py:555-559
+        # via np.arctan2 / np.random.uniform).  Passing python floats here
+        # would silently demote the whole heading/trig chain to float32
+        # under NumPy-2 promotion (f32 action + weak python float -> f32).
+        Agent(-3.0, -3.0, 3.0, 3.0, 0.5, 1.0, np.float64(0.0),
+              NonCooperativePolicy, UnicycleDynamics,
+              [OtherAgentsStatesSensor], 0),
+        Agent(3.0, 3.0, -3.0, -3.0, 0.5, 1.0, np.float64(np.pi),
+              NonCooperativePolicy, UnicycleDynamics,
+              [OtherAgentsStatesSensor], 1),
     ]
     env.set_agents(agents)
     env.reset()

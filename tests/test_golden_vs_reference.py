@@ -1,13 +1,17 @@
 """Golden trajectory-equivalence tests vs the reference simulator.
 
-The JAX engine runs in float64 "parity mode" on CPU here.  Note the
-installed reference executes under NumPy 2 promotion rules, which silently
-demote its dynamics trig path to float32 (the f32 action-array row keeps
-``action[1] + heading`` in f32, UnicycleDynamics.py:28-35) — so the
-*reference itself* only carries ~6e-8 per-step accuracy.  We therefore
-assert positions to 2e-5 absolute over full episodes (f32 noise
-accumulation) and require discrete events (collisions, goals, timeouts,
-rewards' branch selection) to match exactly.
+The JAX engine runs in float64 strict-parity mode on CPU here and matches
+the reference simulator BIT FOR BIT: positions, velocities, headings and
+rewards are asserted with ``assert_array_equal`` (zero tolerance).
+
+Two ingredients make this possible (see core/dynamics.py):
+  * the oracle constructs reference Agents with np.float64 headings, the
+    same type the reference's own agent factory produces
+    (test_cases.py:555-559) — passing python floats would demote the
+    reference's whole trig chain to float32 under NumPy-2 promotion;
+  * strict-parity mode runs the dynamics step and ego-frame refresh on the
+    host via numpy (XLA's CPU backend contracts a*b+c chains into FMAs and
+    its atan2 is 1 ulp off libm on ~8% of inputs — both measured).
 """
 
 import numpy as np
@@ -20,7 +24,7 @@ from gym_collision_avoidance_tpu.scenarios import presets
 
 from tests.oracle import refsim
 
-PARITY_CFG = EnvConfig(dtype="float64", done_mode="learning")
+PARITY_CFG = EnvConfig(dtype="float64", done_mode="learning", strict_parity=True)
 
 
 def _run_jax(scenario, num_steps, cfg=PARITY_CFG):
@@ -44,13 +48,10 @@ def test_two_agent_swap_trajectories_match(ref_swap_traj):
     sc = presets.two_agents_swap()
     _, traj = _run_jax(sc, 80)
 
-    np.testing.assert_allclose(
-        traj["pos"], ref_swap_traj["pos"], atol=2e-5,
-        err_msg="positions diverge from reference",
-    )
-    np.testing.assert_allclose(traj["vel"], ref_swap_traj["vel"], atol=2e-5)
-    np.testing.assert_allclose(traj["heading"], ref_swap_traj["heading"], atol=2e-5)
-    np.testing.assert_allclose(traj["rewards"], ref_swap_traj["rewards"], atol=2e-5)
+    np.testing.assert_array_equal(traj["pos"], ref_swap_traj["pos"])
+    np.testing.assert_array_equal(traj["vel"], ref_swap_traj["vel"])
+    np.testing.assert_array_equal(traj["heading"], ref_swap_traj["heading"])
+    np.testing.assert_array_equal(traj["rewards"], ref_swap_traj["rewards"])
     np.testing.assert_array_equal(traj["is_at_goal"], ref_swap_traj["is_at_goal"])
     np.testing.assert_array_equal(traj["in_collision"], ref_swap_traj["in_collision"])
     np.testing.assert_array_equal(
@@ -73,18 +74,16 @@ def test_two_agent_swap_observations_match(ref_swap_traj):
     for t in range(40):
         ref_obs = ref_swap_traj["obs"][t]
         for i in range(2):
-            np.testing.assert_allclose(
-                obs["dist_to_goal"][t, i], ref_obs[i]["dist_to_goal"], atol=2e-5
+            np.testing.assert_array_equal(
+                obs["dist_to_goal"][t, i], ref_obs[i]["dist_to_goal"]
             )
-            np.testing.assert_allclose(
-                obs["heading_ego_frame"][t, i],
-                ref_obs[i]["heading_ego_frame"],
-                atol=2e-5,
+            np.testing.assert_array_equal(
+                obs["heading_ego_frame"][t, i], ref_obs[i]["heading_ego_frame"]
             )
             np.testing.assert_allclose(
                 obs["other_agents_states"][t, i],
                 ref_obs[i]["other_agents_states"],
-                atol=2e-5,
+                atol=1e-14,
             )
             np.testing.assert_allclose(
                 obs["num_other_agents"][t, i], ref_obs[i]["num_other_agents"]
@@ -99,8 +98,8 @@ def test_preset_two_agent_cases_match(case_idx):
 
     sc = presets.from_cadrl_case(case)
     _, traj = _run_jax(sc, 60)
-    np.testing.assert_allclose(traj["pos"], ref["pos"], atol=2e-5)
-    np.testing.assert_allclose(traj["rewards"], ref["rewards"], atol=2e-5)
+    np.testing.assert_array_equal(traj["pos"], ref["pos"])
+    np.testing.assert_array_equal(traj["rewards"], ref["rewards"])
     np.testing.assert_array_equal(traj["in_collision"], ref["in_collision"])
 
 
@@ -115,8 +114,8 @@ def test_circle_scenario_with_collisions_matches():
     ref = refsim.rollout(env, 60)
 
     _, traj = _run_jax(sc, 60)
-    np.testing.assert_allclose(traj["pos"], ref["pos"], atol=2e-5)
-    np.testing.assert_allclose(traj["rewards"], ref["rewards"], atol=2e-5)
+    np.testing.assert_array_equal(traj["pos"], ref["pos"])
+    np.testing.assert_array_equal(traj["rewards"], ref["rewards"])
     np.testing.assert_array_equal(traj["in_collision"], ref["in_collision"])
     np.testing.assert_array_equal(traj["is_at_goal"], ref["is_at_goal"])
     assert np.any(ref["in_collision"]), "scenario should produce collisions"
@@ -135,11 +134,13 @@ def test_static_agents_match_reference():
 
     env = CollisionAvoidanceEnv()
     agents = [
-        Agent(-3.0, 0.0, 3.0, 0.0, 0.5, 1.0, 0.0, tc.policy_dict["noncoop"],
-              tc.dynamics_dict["unicycle"],
+        # np.float64 headings: python floats would demote the reference's
+        # trig chain to f32 under NumPy-2 promotion (see module docstring)
+        Agent(-3.0, 0.0, 3.0, 0.0, 0.5, 1.0, np.float64(0.0),
+              tc.policy_dict["noncoop"], tc.dynamics_dict["unicycle"],
               [tc.sensor_dict["other_agents_states"]], 0),
-        Agent(0.0, 0.05, 5.0, 5.0, 0.4, 1.0, 0.0, tc.policy_dict["static"],
-              tc.dynamics_dict["unicycle"],
+        Agent(0.0, 0.05, 5.0, 5.0, 0.4, 1.0, np.float64(0.0),
+              tc.policy_dict["static"], tc.dynamics_dict["unicycle"],
               [tc.sensor_dict["other_agents_states"]], 1),
     ]
     env.set_agents(agents)
@@ -155,7 +156,7 @@ def test_static_agents_match_reference():
         policy_id=np.array([policies.NONCOOP, policies.STATIC]),
     )
     _, traj = _run_jax(sc, 50)
-    np.testing.assert_allclose(traj["pos"], ref["pos"], atol=2e-5)
-    np.testing.assert_allclose(traj["rewards"], ref["rewards"], atol=2e-5)
+    np.testing.assert_array_equal(traj["pos"], ref["pos"])
+    np.testing.assert_array_equal(traj["rewards"], ref["rewards"])
     np.testing.assert_array_equal(traj["in_collision"], ref["in_collision"])
     np.testing.assert_array_equal(traj["is_at_goal"], ref["is_at_goal"])
