@@ -171,10 +171,12 @@ def _trunk(params, seq_len, host, others):
         h = jnp.where(keep, new_h, h)
         return (c, h), None
 
-    init = (
-        jnp.zeros((B, HIDDEN), xn_dtype),
-        jnp.zeros((B, HIDDEN), xn_dtype),
-    )
+    # Derive the zero init from the (possibly sharded) input rather than a
+    # fresh constant: under shard_map the carry must share the input's
+    # varying-axes type or the scan rejects it (zero cost — XLA folds the
+    # 0-multiply into the zero constant).
+    zero = jnp.zeros((B, HIDDEN), xn_dtype) + 0.0 * others[:, 0, :1].astype(xn_dtype)
+    init = (zero, zero)
     ts = jnp.arange(T)
     (c, h), _ = jax.lax.scan(scan_body, init, (x_gates.swapaxes(0, 1), ts))
 

@@ -189,6 +189,12 @@ def make_distributed_rollout(
 
     if with_params:
         def sharded(states, params):
+            # params arrive replicated (P()) and hence "unvarying" under
+            # shard_map's varying-manual-axes tracking; internal scans
+            # (e.g. the GA3C LSTM) would then mix unvarying carries with
+            # varying outputs.  Mark them varying over the env axis.
+            params = jax.tree.map(lambda x: lax.pvary(x, (axis_name,)), params)
+
             def scan_body(s, x):
                 return body(s, params, x)
 
