@@ -24,6 +24,7 @@ from gym_collision_avoidance_tpu.config import EnvConfig
 from gym_collision_avoidance_tpu.env.batch import batched_env_step
 from gym_collision_avoidance_tpu.env.step import env_reset, env_step
 from gym_collision_avoidance_tpu.harness import registry as hreg
+from gym_collision_avoidance_tpu.harness import stats as hstats
 from gym_collision_avoidance_tpu.scenarios import presets, suites
 
 
@@ -104,12 +105,14 @@ def run_batched_episodes(
     stats = []
     for e in range(E):
         valid = np.asarray(state.valid[e])
-        in_coll = np.asarray(state.in_collision[e]) & valid
-        at_goal = np.asarray(state.is_at_goal[e]) & valid
         n_valid = int(valid.sum())
-        collision = bool(np.any(in_coll))
-        all_at_goal = bool(np.all(at_goal | ~valid))
-        any_stuck = bool(np.any(~in_coll & ~at_goal & valid))
+        collision, all_at_goal, any_stuck = hstats.outcome_flags(
+            np.asarray(state.in_collision[e]), np.asarray(state.is_at_goal[e]),
+            valid,
+        )
+        collision = bool(collision)
+        all_at_goal = bool(all_at_goal)
+        any_stuck = bool(any_stuck)
         t = np.asarray(state.t[e])[valid]
         stats.append(
             {
@@ -122,8 +125,7 @@ def run_batched_episodes(
                 "collision": collision,
                 "all_at_goal": all_at_goal,
                 "any_stuck": any_stuck,
-                "outcome": "collision" if collision
-                           else "all_at_goal" if all_at_goal else "stuck",
+                "outcome": hstats.outcome_str(collision, all_at_goal),
             }
         )
     if collect_trajectories:

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from gym_collision_avoidance_tpu.config import EnvConfig
 from gym_collision_avoidance_tpu.core.state import EnvState
 from gym_collision_avoidance_tpu.env.step import env_step
+from gym_collision_avoidance_tpu.harness import stats as hstats
 from gym_collision_avoidance_tpu.obs import spec as obs_spec
 from gym_collision_avoidance_tpu.policies import registry as policies
 
@@ -68,7 +69,9 @@ def rollout(
 def episode_stats(traj, cfg: EnvConfig):
     """Summarize a rollout into the reference's episode-stats schema
     (``experiments/src/env_utils.py:52-88``): total_reward, steps until
-    game-over, outcome flags."""
+    game-over, outcome flags.  The flag semantics come from
+    ``harness.stats`` (the single implementation shared with the batched
+    experiment harness)."""
     game_over = traj["game_over"]
     T = game_over.shape[0]
     # First step index at which the episode was over (or T).
@@ -77,14 +80,18 @@ def episode_stats(traj, cfg: EnvConfig):
     steps = jnp.where(ever, first_done + 1, T)
     step_mask = jnp.arange(T) < steps
     total_reward = jnp.sum(traj["rewards"] * step_mask[:, None], axis=0)
-    collision = jnp.any(traj["in_collision"] & step_mask[:, None], axis=0)
+    per_agent_collision = jnp.any(
+        traj["in_collision"] & step_mask[:, None], axis=0
+    )
     at_goal = traj["is_at_goal"][steps - 1]
-    timeout = traj["ran_out_of_time"][steps - 1]
+    collision, all_at_goal, any_stuck = hstats.outcome_flags(
+        per_agent_collision, at_goal
+    )
     return {
         "steps": steps,
         "total_reward": total_reward,
-        "collision": collision,
-        "all_at_goal": jnp.all(at_goal),
-        "any_stuck": jnp.any(timeout),
+        "collision": per_agent_collision,
+        "all_at_goal": all_at_goal,
+        "any_stuck": any_stuck,
         "time_to_goal": steps * cfg.dt,
     }

@@ -33,6 +33,36 @@ def test_batched_episodes_stats_schema():
     assert stats[3]["outcome"] == "all_at_goal"
 
 
+def test_outcome_flags_semantics():
+    """harness.stats is the single outcome implementation; its semantics
+    must match the reference's run_episode (env_utils.py:52-88)."""
+    from gym_collision_avoidance_tpu.harness import stats as hstats
+
+    f = np.array([False, False])
+    t = np.array([True, True])
+    # all at goal
+    c, g, s = hstats.outcome_flags(f, t)
+    assert (bool(c), bool(g), bool(s)) == (False, True, False)
+    assert hstats.outcome_str(c, g) == "all_at_goal"
+    # one collided, one at goal -> collision wins, nobody stuck
+    c, g, s = hstats.outcome_flags(np.array([True, False]), np.array([False, True]))
+    assert (bool(c), bool(g), bool(s)) == (True, False, False)
+    assert hstats.outcome_str(c, g) == "collision"
+    # neither collided nor at goal -> stuck (NOT timeout-based)
+    c, g, s = hstats.outcome_flags(f, np.array([True, False]))
+    assert (bool(c), bool(g), bool(s)) == (False, False, True)
+    assert hstats.outcome_str(c, g) == "stuck"
+    # padded slot is invisible
+    c, g, s = hstats.outcome_flags(
+        np.array([False, True]), np.array([True, False]),
+        valid=np.array([True, False]))
+    assert (bool(c), bool(g), bool(s)) == (False, True, False)
+    # jax arrays work identically (used inside jit by harness.runner)
+    import jax.numpy as jnp
+    c, g, s = hstats.outcome_flags(jnp.array(f), jnp.array([True, False]))
+    assert (bool(c), bool(g), bool(s)) == (False, False, True)
+
+
 def test_batched_stats_match_reference_run_episode():
     """The batched stats must equal the reference's run_episode stats for
     the same scenario (same schema AND same values)."""
