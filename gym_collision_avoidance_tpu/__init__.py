@@ -22,6 +22,28 @@ from gym_collision_avoidance_tpu.env.step import env_step, env_reset
 
 __version__ = "0.1.0"
 
+
+def _register_gym_ids():
+    """Import-time gym registration, matching the reference
+    (gym_collision_avoidance/__init__.py:2-9 registers
+    CollisionAvoidance-v0 on package import).  Entry points are given as
+    strings so gymnasium defers importing the env class (and matplotlib)
+    until ``gym.make``."""
+    try:
+        from gymnasium.envs.registration import register, registry
+    except Exception:  # pragma: no cover - gymnasium not installed
+        return
+    for env_id in ("CollisionAvoidance-v0", "CollisionAvoidanceTpu-v0"):
+        if env_id not in registry:
+            register(
+                id=env_id,
+                entry_point="gym_collision_avoidance_tpu.env.gymapi:CollisionAvoidanceEnv",
+                disable_env_checker=True,
+            )
+
+
+_register_gym_ids()
+
 __all__ = [
     "EnvConfig",
     "EnvState",

@@ -101,6 +101,13 @@ class CollisionAvoidanceEnv(_BASE):
         invoked on each reset."""
         self._scenario_fn = fn
 
+    def set_static_map(self, map_filename):
+        """Analog of the reference's ``set_static_map``
+        (collision_avoidance_env.py:369-392): a binary-PNG path (or a list
+        of candidate paths randomly chosen between each episode).  The map
+        is rasterized at the config's grid dims on the next reset."""
+        self._static_map_filename = map_filename
+
     def set_plot_save_dir(self, d):
         import os
 
@@ -112,6 +119,15 @@ class CollisionAvoidanceEnv(_BASE):
             raise ValueError("call set_scenario()/set_testcase_fn() first")
         sc = self._scenario_fn() if self._scenario_fn is not None else self._scenario
         self._sc = sc
+        if getattr(self, "_static_map_filename", None) is not None:
+            from gym_collision_avoidance_tpu.maps import grid as map_grid
+
+            fname = self._static_map_filename
+            if isinstance(fname, (list, tuple)):
+                # reference picks a random candidate each episode
+                # (collision_avoidance_env.py:384-387)
+                fname = np.random.choice(list(fname))
+            self.static_map = map_grid.load_static_map(self.cfg, fname)
         self._active = sc.active_policies
         state = sc.to_state(self.cfg)
         self.state, obs = env_reset(
@@ -202,11 +218,14 @@ class CollisionAvoidanceEnv(_BASE):
 
 def register_gym_env(env_id: str = "CollisionAvoidanceTpu-v0"):
     """Register with gymnasium (the reference registers
-    CollisionAvoidance-v0 via gym's registry)."""
+    CollisionAvoidance-v0 via gym's registry,
+    gym_collision_avoidance/__init__.py:2-9)."""
     if gym is None:  # pragma: no cover
         raise ImportError("gymnasium not available")
-    from gymnasium.envs.registration import register
+    from gymnasium.envs.registration import register, registry
 
+    if env_id in registry:  # idempotent, like repeated package imports
+        return env_id
     # The multiagent obs (dict keyed by agent index) predates gymnasium's
     # passive checker conventions, exactly like the reference's env.
     register(id=env_id, entry_point=CollisionAvoidanceEnv,

@@ -31,10 +31,23 @@ def save_state(path: str, state: EnvState) -> str:
 def load_state(path: str, like: EnvState) -> EnvState:
     """Restore a state saved by :func:`save_state`.
 
-    ``like`` provides the pytree structure (shapes/dtypes are taken from the
-    file and must match the original save).
+    ``like`` provides the pytree structure; the saved treedef blob must
+    match it exactly (a mismatched state would otherwise silently
+    misassign leaves of compatible shapes).
     """
-    with np.load(path) as z:
-        leaves = [z[f"leaf_{i}"] for i in range(len([k for k in z.files if k.startswith("leaf_")]))]
     treedef = jax.tree.structure(like)
+    with np.load(path) as z:
+        saved_treedef = bytes(z["__treedef__"]).decode()
+        if saved_treedef != str(treedef):
+            raise ValueError(
+                f"checkpoint {path!r} was saved with a different EnvState "
+                f"structure:\n  saved: {saved_treedef}\n  expected: {treedef}"
+            )
+        n = sum(k.startswith("leaf_") for k in z.files)
+        if n != treedef.num_leaves:
+            raise ValueError(
+                f"checkpoint {path!r} has {n} leaves, expected "
+                f"{treedef.num_leaves}"
+            )
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
     return jax.tree.unflatten(treedef, leaves)

@@ -158,6 +158,54 @@ def test_gym_registration():
     assert 0 in obs
 
 
+def test_default_gym_ids_registered_at_import():
+    """Importing the package must register the reference-parity id
+    CollisionAvoidance-v0 (reference registers it at import,
+    gym_collision_avoidance/__init__.py:2-9)."""
+    import gymnasium
+    from gymnasium.envs.registration import registry
+
+    import gym_collision_avoidance_tpu as pkg
+
+    ids = ("CollisionAvoidance-v0", "CollisionAvoidanceTpu-v0")
+    # The reference oracle (tests/oracle/refsim.py), if imported earlier in
+    # the session, registers ITS CollisionAvoidance-v0 over ours; isolate by
+    # re-running our import-time hook on a clean slate and restoring after.
+    saved = {i: registry.pop(i, None) for i in ids}
+    try:
+        pkg._register_gym_ids()
+        for env_id in ids:
+            env = gymnasium.make(env_id, cfg=EnvConfig.evaluate(dtype="float32"))
+            env.unwrapped.set_scenario(presets.two_agents_swap())
+            obs, _ = env.reset()
+            assert 0 in obs
+    finally:
+        for i, spec in saved.items():
+            if spec is not None:
+                registry[i] = spec
+
+
+def test_set_static_map_loads_png_on_reset():
+    """set_static_map parity (collision_avoidance_env.py:369-392): a PNG
+    path set before reset becomes the episode's static map, and wall
+    collisions are live."""
+    from gym_collision_avoidance_tpu.env.gymapi import CollisionAvoidanceEnv
+
+    cfg = EnvConfig(dtype="float32", use_static_map=True,
+                    map_x_width=16.0, map_y_width=16.0)
+    env = CollisionAvoidanceEnv(cfg=cfg)
+    env.set_scenario(presets.two_agents_swap())
+    png = "/root/reference/gym_collision_avoidance/envs/world_maps/002.png"
+    env.set_static_map(png)
+    env.reset()
+    m = np.asarray(env.static_map)
+    assert m.dtype == bool and m.any() and not m.all()
+    # a list of candidates is also accepted (random choice per episode)
+    env.set_static_map([png, png])
+    env.reset()
+    assert np.asarray(env.static_map).any()
+
+
 def test_batched_env_step_matches_vmapped_env_step():
     """The batched fast path must equal vmap(env_step) exactly, for a
     mixed-policy batch including both NN policies."""

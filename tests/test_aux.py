@@ -94,6 +94,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
 
 
+def test_checkpoint_rejects_mismatched_structure(tmp_path):
+    """load_state must refuse a checkpoint whose pytree structure differs
+    from ``like`` instead of silently misassigning leaves."""
+    import pytest
+
+    cfg = EnvConfig.evaluate(dtype="float32")
+    sc = presets.circle_scenario(4, radius=3.0)
+    state, _ = env_reset(sc.to_state(cfg), cfg)
+    p = checkpoint.save_state(str(tmp_path / "ck.npz"), state)
+
+    # a plain-dict pytree with the same leaf count but different structure
+    leaves = jax.tree.leaves(state)
+    fake = {f"k{i}": l for i, l in enumerate(leaves)}
+    with pytest.raises(ValueError, match="different EnvState structure"):
+        checkpoint.load_state(p, fake)
+
+
 def test_profiling_time_step_fn():
     cfg = EnvConfig.evaluate(dtype="float32")
     sc = presets.circle_scenario(4, radius=3.0)
