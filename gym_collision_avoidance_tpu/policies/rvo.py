@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_collision_avoidance_tpu.core import maths
 from gym_collision_avoidance_tpu.ops import orca
@@ -27,9 +28,54 @@ from gym_collision_avoidance_tpu.policies import registry
 
 MAX_DELTA_HEADING = jnp.pi / 6  # RVOPolicy.py:20
 
+# Optional params key: a [A] bool array of host-side anti-collab draws
+# (True = act egoistically this window).  See anti_collab_host_draws.
+NONCOOP_FLAGS_KEY = "rvo_use_noncoop"
+
+
+def anti_collab_host_draws(flags, t, active, cfg, rng=np.random):
+    """Reference-stream-exact anti-collaborative draws (RVOPolicy.py:77-90).
+
+    The reference keeps a persistent ``use_non_coop_policy`` bool per RVO
+    agent (initially True, RVOPolicy.py:32) and, whenever the agent's time
+    hits a window boundary (``round(t % T, 3) < DT`` or
+    ``round(T - t % T, 3) < DT``), redraws it from the GLOBAL numpy stream
+    via ``np.random.choice([True, False], p=[1-|c|, |c|])`` — in agent-index
+    order, skipping done agents (collision_avoidance_env.py:310-312).
+
+    Call on the host each step BEFORE ``env_step`` with the agents' current
+    times (``state.t``); pass the returned flags as
+    ``params["rvo_use_noncoop"]`` so the jitted kernel consumes them instead
+    of its default stateless PRNG derivation.  With ``rng`` seeded like the
+    reference's global stream, seeded anti-collab campaigns then match the
+    reference draw-for-draw.
+
+    Args:
+        flags: [A] bool, the persistent flags from the previous step
+            (initialize to all-True).
+        t: [A] agent times at the START of the step (``state.t``).
+        active: [A] bool, which agents consume a draw this step
+            (RVO policy ∧ ¬done ∧ valid).
+        rng: numpy Generator or the ``np.random`` module (the reference
+            uses the global module stream).
+
+    Returns:
+        [A] bool numpy array of updated flags.
+    """
+    flags = np.array(flags, dtype=bool)
+    T = float(cfg.rvo_anti_collab_t)
+    c = abs(float(cfg.rvo_collab_coeff))
+    t = np.asarray(t, dtype=float)
+    for a in range(flags.shape[0]):
+        if not bool(active[a]):
+            continue
+        rem = t[a] % T
+        if round(rem, 3) < cfg.dt or round(T - rem, 3) < cfg.dt:
+            flags[a] = bool(rng.choice([True, False], p=[1.0 - c, c]))
+    return flags
+
 
 def rvo_kernel(state, cfg, params):
-    del params
     dtype = state.pos.dtype
     A = state.pos.shape[0]
 
@@ -39,6 +85,10 @@ def rvo_kernel(state, cfg, params):
 
     if cfg.rvo_collab_coeff >= 0:
         collab = jnp.full((A,), cfg.rvo_collab_coeff, dtype)
+    elif isinstance(params, dict) and NONCOOP_FLAGS_KEY in params:
+        # Host-provided reference-stream draws (anti_collab_host_draws).
+        use_noncoop = jnp.asarray(params[NONCOOP_FLAGS_KEY], bool)
+        collab = jnp.where(use_noncoop, 0.0, cfg.rvo_collab_coeff).astype(dtype)
     else:
         # Anti-collaborative mode (RVOPolicy.py:77-90 + envs/config.py:84-86):
         # every RVO_ANTI_COLLAB_T seconds each agent re-chooses between

@@ -162,6 +162,77 @@ def test_rvo_anti_collab_mode():
     assert tuple(np.round(action_ego, 9)) in distinct, (action_ego, distinct)
 
 
+def test_rvo_anti_collab_host_stream_parity():
+    """anti_collab_host_draws must consume the numpy stream exactly like
+    the reference's per-agent RVOPolicy objects: agent-index order, only at
+    window boundaries (reference rounding), skipping inactive agents."""
+    from gym_collision_avoidance_tpu.policies import rvo as rvo_policy
+
+    cfg = EnvConfig(dtype="float64", rvo_collab_coeff=-0.3,
+                    rvo_anti_collab_t=1.0)
+    A, steps = 3, 25
+
+    # Independent mini-oracle: per-agent persistent flag objects driven by
+    # the reference's exact boundary test (RVOPolicy.py:82-86) off one
+    # shared stream.  Agent 1 is non-RVO throughout; agent 2 goes done at
+    # step 12 (done agents are skipped, collision_avoidance_env.py:310-312).
+    c = abs(cfg.rvo_collab_coeff)
+    rng_ref = np.random.RandomState(1234)
+    ref_flags = [True] * A
+    ref_hist = []
+    for s in range(steps):
+        for a in range(A):
+            if a == 1 or (a == 2 and s >= 12):
+                continue
+            t = s * cfg.dt
+            rem = t % cfg.rvo_anti_collab_t
+            if (round(rem, 3) < cfg.dt
+                    or round(cfg.rvo_anti_collab_t - rem, 3) < cfg.dt):
+                ref_flags[a] = bool(
+                    rng_ref.choice([True, False], p=[1 - c, c]))
+        ref_hist.append(list(ref_flags))
+
+    rng = np.random.RandomState(1234)
+    flags = np.ones(A, bool)
+    for s in range(steps):
+        active = np.array([True, False, s < 12])
+        t = np.full(A, s * cfg.dt)
+        flags = rvo_policy.anti_collab_host_draws(flags, t, active, cfg, rng)
+        np.testing.assert_array_equal(flags[active], np.array(ref_hist[s])[active])
+    # the two streams must be fully in sync at the end
+    assert rng.randint(1 << 30) == rng_ref.randint(1 << 30)
+
+
+def test_rvo_kernel_consumes_injected_flags():
+    """params['rvo_use_noncoop'] overrides the stateless PRNG derivation:
+    all-True flags reproduce the egoistic (coeff 0) action, all-False the
+    adversarial (raw negative coeff) action."""
+    from gym_collision_avoidance_tpu.core.state import init_state
+    from gym_collision_avoidance_tpu.policies import rvo as rvo_policy
+
+    def mk(coeff):
+        cfg = EnvConfig(dtype="float64", rvo_collab_coeff=coeff)
+        state = init_state(
+            cfg,
+            pos=np.array([[-1.0, 0.0], [1.0, 0.3]]),
+            goal=np.array([[2.0, 0.0], [-2.0, 0.3]]),
+            radius=np.array([0.4, 0.4]),
+            pref_speed=np.array([1.0, 1.0]),
+            rng=jax.random.PRNGKey(0),
+        )
+        return cfg, state.replace(vel=jnp.asarray([[0.6, 0.0], [-0.6, 0.0]]))
+
+    cfg0, st0 = mk(0.0)
+    ego = np.asarray(rvo_policy.rvo_kernel(st0, cfg0, None))
+    cfg, st = mk(-0.5)
+    out_true = np.asarray(rvo_policy.rvo_kernel(
+        st, cfg, {rvo_policy.NONCOOP_FLAGS_KEY: np.array([True, True])}))
+    np.testing.assert_array_equal(out_true, ego)
+    out_false = np.asarray(rvo_policy.rvo_kernel(
+        st, cfg, {rvo_policy.NONCOOP_FLAGS_KEY: np.array([False, False])}))
+    assert not np.array_equal(out_false, ego)
+
+
 def test_rvo_anti_collab_negative_coeff_matches_oracle():
     """The adversarial branch must use the RAW negative coefficient
     (RVOPolicy.py:88) — a negative reciprocity share steers INTO the
