@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_collision_avoidance_tpu import config as cfg_mod
 from gym_collision_avoidance_tpu.config import EnvConfig
@@ -202,7 +203,34 @@ def _compute_rewards(state: EnvState, cfg: EnvConfig, static_map=None):
     return state.replace(in_collision=in_collision), r
 
 
-def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
+def normalize_sensor_spec(sensors, num_agents: int):
+    """Parse the static sensors argument into ``{name: ego_idx or None}``.
+
+    Each entry is either a sensor name (equipped on every agent, the
+    reference's common case) or a ``(name, (i0, i1, ...))`` pair equipping
+    only the listed agents — the analog of the reference's per-Agent sensor
+    lists (envs/agent.py:31-33).  A full-coverage tuple collapses to None
+    (the all-agents fast path, no gather/scatter at all).
+    """
+    spec = {}
+    for entry in sensors:
+        if isinstance(entry, str):
+            spec[entry] = None
+        else:
+            name, idx = entry
+            idx = tuple(int(i) for i in idx)
+            spec[name] = None if idx == tuple(range(num_agents)) else idx
+    return spec
+
+
+def _equipped_mask(idx, num_agents: int):
+    """[A] bool constant: which agents carry a subset-equipped sensor."""
+    m = np.zeros(num_agents, bool)
+    m[list(idx)] = True
+    return jnp.asarray(m)
+
+
+def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors,
                        states_in_obs: Sequence[str], static_map=None,
                        static_cells=None):
     """Sensor pass + obs assembly (envs/collision_avoidance_env.py:555-575).
@@ -210,10 +238,18 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
     ``static_cells`` ([S, 2] padded occupied-cell list) switches the
     laserscan to the gather-free sparse path — identical outputs, far
     faster on TPU (see obs.sensors.laserscan_sparse).
+
+    ``sensors`` entries may be names or ``(name, agent_idx_tuple)`` pairs
+    (see :func:`normalize_sensor_spec`): subset-equipped expensive sensors
+    compute only their agents' rows (the laserscan cost is linear in ego
+    rows); unequipped rows keep their defaults — exactly the reference's
+    never-sensed agent state.
     """
+    A = state.pos.shape[0]
+    spec = normalize_sensor_spec(sensors, A)
     sensed = {}
-    needs_map = ("laserscan" in sensors and static_cells is None) or (
-        "occupancy_grid" in sensors
+    needs_map = ("laserscan" in spec and static_cells is None) or (
+        "occupancy_grid" in spec
     )
     if needs_map:
         if static_map is None or not cfg.use_static_map:
@@ -225,29 +261,55 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors: Sequence[str],
         dynamic_map = map_grid.stamp_agents(
             static_map, state.pos, state.radius, state.valid, cfg
         )
-    if "laserscan" in sensors:
+    if "laserscan" in spec:
+        idx = spec["laserscan"]
         if static_cells is not None:
-            ranges = sensors_mod.laserscan_sparse(state, cfg, static_cells)
+            ranges_e = sensors_mod.laserscan_sparse(state, cfg, static_cells,
+                                                    ego_idx=idx)
         else:
-            ranges = sensors_mod.laserscan(state, cfg, dynamic_map)
+            ranges_e = sensors_mod.laserscan(state, cfg, dynamic_map,
+                                             ego_idx=idx)
+        if idx is None:
+            ranges, equipped = ranges_e, None
+        else:
+            # scatter the subset rows back to [A, L]; unequipped rows read
+            # max-range (they are never consumed)
+            ranges = jnp.full(
+                (A, ranges_e.shape[-1]), sensors_mod.LASER_MAX_RANGE,
+                ranges_e.dtype,
+            ).at[jnp.asarray(idx, jnp.int32)].set(ranges_e)
+            equipped = _equipped_mask(idx, A)
         rolled = jnp.concatenate(
             [ranges[:, None, :], state.laserscan_history[:, :-1, :]], axis=1
         )
         # First-ever measurement fills the whole history
         # (LaserScanSensor.py:84-88).
         first = (state.laserscan_count == 0)[:, None, None]
-        P = state.laserscan_history.shape[1]
         hist = jnp.where(
             first, jnp.broadcast_to(ranges[:, None, :], rolled.shape), rolled
         )
-        state = state.replace(
-            laserscan_history=hist, laserscan_count=state.laserscan_count + 1
-        )
+        count = state.laserscan_count + 1
+        if equipped is not None:
+            # unequipped agents never sense: history and count stay put
+            hist = jnp.where(equipped[:, None, None], hist,
+                             state.laserscan_history)
+            count = jnp.where(equipped, count, state.laserscan_count)
+        state = state.replace(laserscan_history=hist, laserscan_count=count)
         sensed["laserscan"] = hist
-    if "occupancy_grid" in sensors:
-        sensed["occupancy_grid"] = sensors_mod.occupancy_grid(state, cfg, dynamic_map)
-    if "other_agents_states" in sensors:
+    if "occupancy_grid" in spec:
+        og = sensors_mod.occupancy_grid(state, cfg, dynamic_map)
+        idx = spec["occupancy_grid"]
+        if idx is not None:
+            og = og & _equipped_mask(idx, A)[:, None, None]
+        sensed["occupancy_grid"] = og
+    if "other_agents_states" in spec:
         rows, closest, counts = sensors_mod.other_agents_states(state, cfg)
+        idx = spec["other_agents_states"]
+        if idx is not None:
+            eq = _equipped_mask(idx, A)
+            rows = jnp.where(eq[:, None, None], rows, state.sensed_others)
+            closest = jnp.where(eq[:, None], closest, state.other_agent_states)
+            counts = jnp.where(eq, counts, state.num_other_agents_observed)
         sensed["other_agents_states"] = rows
         state = state.replace(
             other_agent_states=closest,

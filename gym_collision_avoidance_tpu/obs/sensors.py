@@ -27,7 +27,15 @@ LASER_MIN_ANGLE = -jnp.pi / 2
 LASER_MAX_ANGLE = jnp.pi / 2
 
 
-def laserscan(state, cfg, dynamic_map):
+def _ego_rows(x, ego_idx):
+    """Static-subset row gather: with ``ego_idx`` a (static) tuple of agent
+    indices, restrict an ego-axis array to those rows; None keeps all."""
+    if ego_idx is None:
+        return x
+    return x[jnp.asarray(ego_idx, jnp.int32)]
+
+
+def laserscan(state, cfg, dynamic_map, ego_idx=None):
     """Batched ray-march over the agent-stamped occupancy grid.
 
     Replicates ``LaserScanSensor.sense`` (LaserScanSensor.py:49-101): a
@@ -37,10 +45,14 @@ def laserscan(state, cfg, dynamic_map):
     (a thick obstacle yields the first-hit range; a 1-cell-thin one reads
     past it).
 
+    Args:
+        ego_idx: optional static tuple of agent indices to sense FOR
+            (per-agent sensor equipage, envs/agent.py:31-33); the world —
+            every stamped disc — stays full.  None senses for all agents.
+
     Returns:
-        ranges [A, num_beams] in meters.
+        ranges [A_ego, num_beams] in meters (A_ego = len(ego_idx) or A).
     """
-    A = state.pos.shape[0]
     L = cfg.laserscan_length
     dtype = state.pos.dtype
     H, W = dynamic_map.shape
@@ -48,13 +60,15 @@ def laserscan(state, cfg, dynamic_map):
     rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
     R = rsamples.shape[0]
 
-    angles = angles0[None, :] + state.heading[:, None]          # [A, L]
+    pos_e = _ego_rows(state.pos, ego_idx)
+    A = pos_e.shape[0]
+    angles = angles0[None, :] + _ego_rows(state.heading, ego_idx)[:, None]  # [A, L]
     cos_a = jnp.cos(angles)
     sin_a = jnp.sin(angles)
 
     # Ego-disc mask parameters (LaserScanSensor.py:76-77).
-    gi, gj, ego_in_map = map_grid.world_to_map(state.pos, cfg, dynamic_map.shape)
-    r_cells_sq = (state.radius / cfg.map_grid_cell_size) ** 2
+    gi, gj, ego_in_map = map_grid.world_to_map(pos_e, cfg, dynamic_map.shape)
+    r_cells_sq = (_ego_rows(state.radius, ego_idx) / cfg.map_grid_cell_size) ** 2
 
     # March the range axis with a scan so memory stays [A, L] per step —
     # materializing the full [batch, A, L, R] sample tensor OOMs at scale.
@@ -64,8 +78,8 @@ def laserscan(state, cfg, dynamic_map):
     def body(carry, inp):
         cnt, idx = carry
         r, k = inp
-        px = state.pos[:, None, 0] + r * cos_a                  # [A, L]
-        py = state.pos[:, None, 1] + r * sin_a
+        px = pos_e[:, None, 0] + r * cos_a                      # [A, L]
+        py = pos_e[:, None, 1] + r * sin_a
         pts = jnp.stack([px, py], axis=-1)
         ii, jj, in_map = map_grid.world_to_map(pts, cfg, dynamic_map.shape)
         ii_c = jnp.clip(ii, 0, H - 1)
@@ -90,7 +104,7 @@ def laserscan(state, cfg, dynamic_map):
     return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
 
 
-def laserscan_sparse(state, cfg, static_cells):
+def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     """Gather-free laserscan: identical outputs to :func:`laserscan`, but
     occupancy is evaluated *analytically* instead of reading a rasterized
     map — agent discs by the circle-stamp inequality on the sample's cell
@@ -117,11 +131,13 @@ def laserscan_sparse(state, cfg, static_cells):
         static_cells: [S, 2] int32 occupied (i, j) cells of the *static*
             map, padded with -1 rows (see
             :func:`maps.grid.occupied_cell_list`).  S is a static shape.
+        ego_idx: optional static tuple of agent indices to sense FOR
+            (per-agent sensor equipage); every agent disc stays in the
+            world regardless.  None senses for all agents.
 
     Returns:
-        ranges [A, num_beams] in meters.
+        ranges [A_ego, num_beams] in meters (A_ego = len(ego_idx) or A).
     """
-    A = state.pos.shape[0]
     L = cfg.laserscan_length
     dtype = state.pos.dtype
     H = int(cfg.map_y_width / cfg.map_grid_cell_size)
@@ -130,7 +146,8 @@ def laserscan_sparse(state, cfg, static_cells):
     rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
     R = rsamples.shape[0]
 
-    angles = angles0[None, :] + state.heading[:, None]          # [A, L]
+    pos_e = _ego_rows(state.pos, ego_idx)
+    angles = angles0[None, :] + _ego_rows(state.heading, ego_idx)[:, None]  # [A, L]
     cos_a = jnp.cos(angles)
     sin_a = jnp.sin(angles)
 
@@ -153,8 +170,8 @@ def laserscan_sparse(state, cfg, static_cells):
     # position and tiles without padding (A_other=20 in the minor axis
     # wasted 84% of each lane tile and dominated the profile).
     rr = rsamples[None, :, None]                                 # [1, R, 1]
-    px = state.pos[:, None, None, 0] + rr * cos_a[:, None, :]    # [A, R, L]
-    py = state.pos[:, None, None, 1] + rr * sin_a[:, None, :]
+    px = pos_e[:, None, None, 0] + rr * cos_a[:, None, :]        # [A, R, L]
+    py = pos_e[:, None, None, 1] + rr * sin_a[:, None, :]
     pts = jnp.stack([px, py], axis=-1)
     ii, jj, in_map = map_grid.world_to_map(pts, cfg, (H, W))
 
@@ -168,9 +185,10 @@ def laserscan_sparse(state, cfg, static_cells):
 
     # the ego's own disc is masked out of the whole map
     # (LaserScanSensor.py:76-77) — a single [A, R, L] pass, no A_other axis
-    dei = ii - gi[:, None, None]
-    dej = jj - gj[:, None, None]
-    in_ego = dei * dei + dej * dej < r_cells_sq[:, None, None]
+    dei = ii - _ego_rows(gi, ego_idx)[:, None, None]
+    dej = jj - _ego_rows(gj, ego_idx)[:, None, None]
+    in_ego = (dei * dei + dej * dej
+              < _ego_rows(r_cells_sq, ego_idx)[:, None, None])
 
     # static occupied-cell list membership  [A, R, S, L].  Padding rows are
     # (-1, -1): only out-of-map samples can produce ii == -1, and those

@@ -37,6 +37,11 @@ def import_reference(config_class: str = "Config"):
     modules are purged (reference tests do the same purge,
     gym_collision_avoidance/tests/test_collision_avoidance.py:10-18).
     """
+    if not os.path.isdir(_REFERENCE_ROOT):  # e.g. CI without the mount
+        import pytest
+
+        pytest.skip("reference simulator not available at /root/reference",
+                    allow_module_level=True)
     _install_gym_shim()
     os.environ["GYM_CONFIG_CLASS"] = config_class
     if _REFERENCE_ROOT not in sys.path:
@@ -90,9 +95,14 @@ def make_two_agent_swap_env():
     return env
 
 
-def make_env_from_case(case, policy_name="noncoop", sensors=("other_agents_states",)):
+def make_env_from_case(case, policy_name="noncoop", sensors=("other_agents_states",),
+                       sensors_per_agent=None):
     """Reference env from a [A, 6] case array of
-    [px, py, gx, gy, pref_speed, radius]; headings point at the goal."""
+    [px, py, gx, gy, pref_speed, radius]; headings point at the goal.
+
+    ``sensors_per_agent``: optional list (len A) of per-agent sensor-name
+    tuples, overriding the env-wide ``sensors`` (the reference attaches
+    sensors per Agent, envs/agent.py:31-33)."""
     import_reference()
     import numpy as np
     from gym_collision_avoidance.envs.collision_avoidance_env import (
@@ -101,10 +111,11 @@ def make_env_from_case(case, policy_name="noncoop", sensors=("other_agents_state
     from gym_collision_avoidance.envs.agent import Agent
     from gym_collision_avoidance.envs import test_cases as tc
 
-    sensor_classes = [tc.sensor_dict[s] for s in sensors]
     env = CollisionAvoidanceEnv()
     agents = []
     for i, row in enumerate(np.asarray(case)):
+        names = sensors if sensors_per_agent is None else sensors_per_agent[i]
+        sensor_classes = [tc.sensor_dict[s] for s in names]
         px, py, gx, gy, v, r = row
         heading = np.arctan2(gy - py, gx - px)
         agents.append(

@@ -239,6 +239,102 @@ def test_env_step_sparse_laserscan_end_to_end():
     assert np.isfinite(np.asarray(obs["laserscan"])).all()
 
 
+def test_laserscan_ego_subset_matches_full_rows():
+    """Per-agent equipage (ego_idx) must reproduce exactly the equipped
+    rows of the all-agents computation, on both laserscan paths."""
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    static = jnp.asarray(static_np)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    rng = np.random.RandomState(11)
+    A = 5
+    pos = rng.uniform(-4.5, 4.5, (A, 2))
+    radius = rng.uniform(0.2, 0.5, A)
+    heading = rng.uniform(-np.pi, np.pi, A)
+    state = init_state(cfg, pos=pos, goal=pos + 3, radius=radius,
+                       pref_speed=np.ones(A), heading=heading)
+    dynamic = map_grid.stamp_agents(static, state.pos, state.radius,
+                                    state.valid, cfg)
+    idx = (0, 3)
+    full_d = np.asarray(sensors.laserscan(state, cfg, dynamic))
+    sub_d = np.asarray(sensors.laserscan(state, cfg, dynamic, ego_idx=idx))
+    np.testing.assert_array_equal(sub_d, full_d[list(idx)])
+    full_s = np.asarray(sensors.laserscan_sparse(state, cfg, cells))
+    sub_s = np.asarray(sensors.laserscan_sparse(state, cfg, cells, ego_idx=idx))
+    np.testing.assert_array_equal(sub_s, full_s[list(idx)])
+
+
+def test_per_agent_sensors_golden_vs_reference():
+    """Mixed-equipage scenario (agent 0: laserscan + other-agents; agents
+    1-2: other-agents only) must match the reference's per-Agent sensor
+    wiring (envs/agent.py:31-33): equipped rows match the reference
+    sensors, unequipped agents never touch their laserscan state."""
+    refsim.import_reference()
+    from gym_collision_avoidance.envs import Config as RefConfig
+    from gym_collision_avoidance.envs import test_cases as tc
+    from gym_collision_avoidance.envs.agent import Agent
+
+    from gym_collision_avoidance_tpu.env import step as step_mod
+
+    cfg = _cfg()
+    rng = np.random.RandomState(21)
+    A = 3
+    radius = rng.uniform(0.2, 0.4, A)
+    heading = rng.uniform(-np.pi, np.pi, A)
+    positions = [rng.uniform(-3.5, 3.5, (A, 2)) for _ in range(3)]
+
+    per_agent = [("laserscan", "other_agents_states"),
+                 ("other_agents_states",), ("other_agents_states",)]
+    orig = RefConfig.USE_STATIC_MAP
+    RefConfig.USE_STATIC_MAP = True  # LaserScanSensor asserts this at init
+    try:
+        ref_agents = []
+        for i in range(A):
+            a = Agent(positions[0][i, 0], positions[0][i, 1],
+                      positions[0][i, 0] + 5, positions[0][i, 1] + 5,
+                      radius[i], 1.0, heading[i], tc.policy_dict["noncoop"],
+                      tc.dynamics_dict["unicycle"],
+                      [tc.sensor_dict[s] for s in per_agent[i]], i)
+            ref_agents.append(a)
+        ref_data = []
+        for pos in positions:
+            ref_map = _ref_map(MAP_PNG)
+            for a, p in zip(ref_agents, pos):
+                a.pos_global_frame = p.copy()
+            ref_map.add_agents_to_map(ref_agents)
+            for i, a in enumerate(ref_agents):
+                a.sense(ref_agents, i, ref_map)
+            ref_data.append({i: dict(a.sensor_data)
+                             for i, a in enumerate(ref_agents)})
+    finally:
+        RefConfig.USE_STATIC_MAP = orig
+
+    static = jnp.asarray(map_grid.load_static_map(cfg, MAP_PNG))
+    state = init_state(cfg, pos=positions[0], goal=positions[0] + 5,
+                       radius=radius, pref_speed=np.ones(A), heading=heading)
+    sensors_spec = (("laserscan", (0,)), "other_agents_states")
+    for step, pos in enumerate(positions):
+        state = state.replace(pos=jnp.asarray(pos))
+        state, obs = step_mod._sense_and_observe(
+            state, cfg, sensors_spec,
+            ("laserscan", "other_agents_states"), static,
+        )
+        # equipped laserscan row matches the reference sensor's history
+        np.testing.assert_allclose(
+            np.asarray(state.laserscan_history[0]),
+            np.asarray(ref_data[step][0]["laserscan"]), atol=1e-9)
+        # other-agents rows match for every agent (all equipped)
+        for i in range(A):
+            np.testing.assert_allclose(
+                np.asarray(obs["other_agents_states"][i]),
+                np.asarray(ref_data[step][i]["other_agents_states"]),
+                atol=1e-12)
+        # unequipped agents never sense: count stays 0, history untouched
+        assert int(state.laserscan_count[0]) == step + 1
+        assert int(state.laserscan_count[1]) == 0
+        assert int(state.laserscan_count[2]) == 0
+
+
 def test_laserscan_history_roll_matches_reference():
     """Multi-step history semantics (LaserScanSensor.py:84-90): the stacked
     scans must roll the same way as the reference's stateful sensor while
