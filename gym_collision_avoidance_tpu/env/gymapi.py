@@ -183,6 +183,9 @@ class CollisionAvoidanceEnv(_BASE):
             goals=np.asarray(self.state.goal),
             dt=self.cfg.dt,
             save_path=save_path,
+            # collision episodes get a copy under <dir>/collisions/
+            # (envs/visualize.py:34-35,148-149)
+            in_collision=np.asarray(self.state.in_collision),
             **kwargs,
         )
 

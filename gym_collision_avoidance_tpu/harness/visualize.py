@@ -48,6 +48,8 @@ def plot_episode(
     show: bool = False,
     static_map: Optional[np.ndarray] = None,
     map_extent=None,
+    in_collision: Optional[np.ndarray] = None,
+    perturbed: Optional[dict] = None,
 ):
     """Plot one episode's trajectories (cf. ``plot_episode``/``draw_agents``,
     envs/visualize.py:90-257).
@@ -57,6 +59,16 @@ def plot_episode(
         radii: [A].
         goals: [A, 2] (drawn as stars).
         steps: only the first `steps` timesteps are drawn.
+        in_collision: optional [A] bool; if any, the figure is ALSO saved
+            under ``<dir>/collisions/<name>`` next to ``save_path`` — the
+            reference's failed-episode copy (envs/visualize.py:34-35,
+            148-149).
+        perturbed: optional adversarial-perturbation overlay (the
+            robustness-paper tooling, envs/visualize.py:259-303), a dict
+            with keys ``other_pos`` [2] (true other-agent position),
+            ``perturbed_pos`` [2] (perturbed position), ``radius`` float,
+            and optionally ``steps`` [K, 2] (the perturbation's global-frame
+            path, drawn as fading segments).
     """
     import matplotlib
 
@@ -100,6 +112,9 @@ def plot_episode(
             ax.plot(goals[a, 0], goals[a, 1], marker="*", markersize=14,
                     color=color)
 
+    if perturbed is not None:
+        _draw_perturbed_overlay(ax, plt, perturbed)
+
     if limits is not None:
         ax.set_xlim(limits[0])
         ax.set_ylim(limits[1])
@@ -107,10 +122,42 @@ def plot_episode(
     if save_path is not None:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        if in_collision is not None and np.any(np.asarray(in_collision)):
+            cdir = os.path.join(os.path.dirname(save_path) or ".",
+                                "collisions")
+            os.makedirs(cdir, exist_ok=True)
+            fig.savefig(os.path.join(cdir, os.path.basename(save_path)),
+                        dpi=100, bbox_inches="tight")
     if show:  # pragma: no cover
         plt.show()
     plt.close(fig)
     return save_path
+
+
+def _draw_perturbed_overlay(ax, plt, perturbed: dict):
+    """Adversarial-perturbation overlay (envs/visualize.py:259-303,
+    re-designed without the Perturber class): the perturbed other-agent
+    position as an open circle, x-markers at true/perturbed positions, and
+    the perturbation path as segments fading in."""
+    from matplotlib.collections import LineCollection
+
+    adv_color = PLT_COLORS[-1]
+    other = np.asarray(perturbed["other_pos"], float)
+    pert = np.asarray(perturbed["perturbed_pos"], float)
+    r = float(perturbed.get("radius", 0.3))
+    ax.add_patch(plt.Circle(pert, radius=r, fill=False, ec=adv_color))
+    ax.plot(*other, "x", color=PLT_COLORS[1], zorder=4)
+    ax.plot(*pert, "x", color=adv_color, zorder=4)
+    steps = perturbed.get("steps")
+    if steps is not None and len(steps) >= 2:
+        ps = np.asarray(steps, float)
+        K = ps.shape[0] - 1
+        colors = np.zeros((K, 4))
+        colors[:, :3] = adv_color
+        colors[:, 3] = np.linspace(0.2, 1.0, K)
+        segs = np.stack([ps[:-1], ps[1:]], axis=1)
+        ax.add_collection(LineCollection(segs, colors=colors,
+                                         linestyle="solid"))
 
 
 def animate_episode(
@@ -121,10 +168,14 @@ def animate_episode(
     dt: float = 0.1,
     period_steps: int = 5,
     save_path: str = "episode.gif",
+    save_mp4: bool = False,
     **plot_kwargs,
 ):
     """Assemble a GIF from per-step partial-trajectory frames
-    (cf. ``animate_episode``, envs/visualize.py:40-88)."""
+    (cf. ``animate_episode``, envs/visualize.py:40-88).  With ``save_mp4``
+    the same frames are also encoded as ``<save_path minus .gif>.mp4``
+    (the reference's gif→mp4 conversion, envs/visualize.py:81-88 — done
+    here via OpenCV since neither moviepy nor ffmpeg is required)."""
     import imageio.v2 as imageio
     import tempfile
 
@@ -140,4 +191,25 @@ def animate_episode(
             frames.append(imageio.imread(f))
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     imageio.mimsave(save_path, frames, duration=0.1)
+    if save_mp4:
+        frames_to_mp4(frames, os.path.splitext(save_path)[0] + ".mp4")
     return save_path
+
+
+def frames_to_mp4(frames, mp4_path: str, fps: int = 10) -> str:
+    """Encode RGB(A) frames to MP4 with OpenCV (VideoWriter wants uniform
+    even dims and BGR order)."""
+    import cv2
+
+    h = min(f.shape[0] for f in frames) // 2 * 2
+    w = min(f.shape[1] for f in frames) // 2 * 2
+    writer = cv2.VideoWriter(
+        mp4_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not writer.isOpened():  # pragma: no cover
+        raise RuntimeError("OpenCV mp4 writer failed to open")
+    for f in frames:
+        rgb = np.asarray(f)[:h, :w, :3]
+        writer.write(rgb[:, :, ::-1].copy())
+    writer.release()
+    return mp4_path

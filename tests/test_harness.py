@@ -135,9 +135,44 @@ def test_plot_and_animate(tmp_path):
     gif = visualize.animate_episode(
         traj[:, 0], np.asarray(sc.radius), goals=sc.goal,
         steps=min(stats[0]["steps"], 30), dt=cfg.dt, period_steps=10,
-        save_path=str(tmp_path / "000_test_4agents.gif"),
+        save_path=str(tmp_path / "000_test_4agents.gif"), save_mp4=True,
     )
     assert os.path.getsize(gif) > 10_000
+    # MP4 assembly alongside the GIF (envs/visualize.py:81-88)
+    assert os.path.getsize(tmp_path / "000_test_4agents.mp4") > 1_000
+
+
+def test_collision_copy_and_perturbed_overlay(tmp_path):
+    """Collision episodes get a copy under <dir>/collisions/
+    (envs/visualize.py:34-35,148-149); the adversarial overlay draws
+    (envs/visualize.py:259-303)."""
+    cfg = EnvConfig.evaluate(dtype="float32")
+    sc = presets.two_agents_swap()
+    stats, traj = experiments.run_batched_episodes(
+        [sc], cfg, collect_trajectories=True, max_steps=64
+    )
+    png = visualize.plot_episode(
+        traj[:, 0], np.asarray(sc.radius), goals=sc.goal,
+        steps=stats[0]["steps"], dt=cfg.dt,
+        save_path=str(tmp_path / "000_swap_2agents.png"),
+        in_collision=np.array([True, False]),
+        perturbed={
+            "other_pos": np.asarray(sc.pos[1]),
+            "perturbed_pos": np.asarray(sc.pos[1]) + 0.4,
+            "radius": float(sc.radius[1]),
+            "steps": np.asarray(sc.pos[1]) + np.linspace(0, 0.4, 5)[:, None],
+        },
+    )
+    assert os.path.getsize(png) > 10_000
+    assert os.path.getsize(tmp_path / "collisions" / "000_swap_2agents.png") > 10_000
+    # a non-collision save makes no copy
+    visualize.plot_episode(
+        traj[:, 0], np.asarray(sc.radius), goals=sc.goal,
+        steps=stats[0]["steps"], dt=cfg.dt,
+        save_path=str(tmp_path / "001_swap_2agents.png"),
+        in_collision=np.array([False, False]),
+    )
+    assert not os.path.exists(tmp_path / "collisions" / "001_swap_2agents.png")
 
 
 def test_formations_campaign(tmp_path):
