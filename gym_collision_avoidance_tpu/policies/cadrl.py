@@ -60,9 +60,15 @@ def _candidate_actions(s10):
     (find_actions_theta, nn_navigation_value_multi.py:561-647)."""
     pref = s10[5]
     cur_speed = jnp.sqrt(s10[2] ** 2 + s10[3] ** 2)
-    default = jnp.stack([cur_speed, s10[4]])
+    # The reference wraps the heading COLUMN after assembly
+    # (find_actions_theta's mod on the stacked array); wrapping each
+    # block's angles at the source is elementwise-identical and avoids a
+    # post-concat scatter that forced a pathological 2-lane layout copy
+    # (copy.3432, 15% of the round-2 device trace).  _mod_wrap(0) == 0, so
+    # the zero row needs no wrap.
+    default = jnp.stack([cur_speed, _mod_wrap(s10[4])])
 
-    desired_angle = jnp.arctan2(s10[7] - s10[1], s10[6] - s10[0])
+    desired_angle = _mod_wrap(jnp.arctan2(s10[7] - s10[1], s10[6] - s10[0]))
     desired_scales = jnp.array([1.0, 0.80, 0.60, 0.40, 0.20])
     desired = jnp.stack(
         [pref * desired_scales, jnp.full((5,), desired_angle)], axis=-1
@@ -70,7 +76,9 @@ def _candidate_actions(s10):
 
     zero = jnp.zeros((1, 2))
 
-    near_headings = s10[4] + jnp.linspace(-jnp.pi / 3.0, jnp.pi / 3.0, 10)
+    near_headings = _mod_wrap(
+        s10[4] + jnp.linspace(-jnp.pi / 3.0, jnp.pi / 3.0, 10)
+    )
     near_scales = jnp.array([1.0, 0.75, 0.50, 0.25])
     near_speed = pref * near_scales                               # [4]
     near = jnp.stack(
@@ -81,11 +89,7 @@ def _candidate_actions(s10):
         axis=-1,
     )                                                             # [40, 2]
 
-    actions = jnp.concatenate([default[None], desired, zero, near], axis=0)
-    # note: rewriting this scatter as a column stack was measured 16%
-    # SLOWER end-to-end (the concat's layout choice propagates downstream);
-    # the .at-set stays
-    return actions.at[:, 1].set(_mod_wrap(actions[:, 1]))
+    return jnp.concatenate([default[None], desired, zero, near], axis=0)
 
 
 def _close_actions_table():

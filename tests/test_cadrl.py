@@ -42,6 +42,26 @@ def test_value_net_forward_matches(ref_value_net):
     np.testing.assert_allclose(ours, ref, atol=1e-10)
 
 
+def test_value_net_tpu_padded_forward_equivalent(ref_value_net):
+    """load_params(tpu_pad=True) zero-pads to lane-aligned dims; outputs
+    must match the unpadded forward to accumulation-order rounding (and the
+    reference to the same 1e-10 as the unpadded path).  Measured on-TPU
+    note: padding did NOT speed the CADRL step up (the step is not
+    MLP-tiling-bound, PERF.md) — the option stays validated but off."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(64, 31) * 2.0
+    x[:, 0] = rng.uniform(0, 30, 64)
+    ref = ref_value_net.nn.make_prediction_raw(x).squeeze()
+    padded = np.asarray(
+        cadrl_net.forward_raw(cadrl_net.load_params(tpu_pad=True), jnp.asarray(x))
+    )
+    unpadded = np.asarray(
+        cadrl_net.forward_raw(cadrl_net.load_params(), jnp.asarray(x))
+    )
+    np.testing.assert_allclose(padded, unpadded, atol=1e-12)
+    np.testing.assert_allclose(padded, ref, atol=1e-10)
+
+
 def _random_env_state(rng, A, cfg):
     pos = rng.uniform(-4, 4, (A, 2))
     goal = rng.uniform(-4, 4, (A, 2))
