@@ -66,6 +66,14 @@ class EnvConfig:
     agent_sorting_method: str = SORT_CLOSEST_FIRST
     laserscan_length: int = 512
     laserscan_num_past: int = 3
+    # Optional per-128-beam-block disc culling for the sparse laserscan:
+    # each beam block only tests the <= C discs whose inflated tangent cone
+    # overlaps its angular span (exact-conservative screen).  None = test
+    # every disc.  Bit-identical to the full path as long as no
+    # (ego, block) ever has more than C screened candidates — check with
+    # obs.sensors.laserscan_wedge_candidate_counts before trusting a C for
+    # a new scenario family (the 20-agent benchmark scenario peaks at 8).
+    laserscan_num_candidate_discs: int | None = None
 
     # --- CADRL value-net social norm (CADRLPolicy.py:22-23) ---
     # "none" for the default no_constr net; "right"/"left" activate the

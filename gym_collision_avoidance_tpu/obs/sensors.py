@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_collision_avoidance_tpu import config as cfg_mod
 from gym_collision_avoidance_tpu.core import maths
@@ -104,6 +105,86 @@ def laserscan(state, cfg, dynamic_map, ego_idx=None):
     return jnp.where(idx >= 0, rsamples[jnp.maximum(idx, 0)], LASER_MAX_RANGE)
 
 
+def _wedge_screen(state, cfg, pos_e, heading_e, ego_global, num_blocks):
+    """Conservative per-(ego, beam-block) disc candidacy [A_ego, B, A_o].
+
+    A disc can contribute a hit to a beam block only if (a) it is within
+    sample reach of the ego and (b) its tangent cone (inflated by the
+    quantization slack) overlaps the block's angular span.  Both conditions
+    are *necessary* for a quantized-cell hit: the in-disc test compares
+    floor'd cell indices, and ``|floor(a) - floor(b) - (a - b)| < 1`` per
+    coordinate bounds the quantized-vs-continuous distance error by sqrt(2)
+    cells — so any hit sample lies within ``(rc + sqrt2) * cell`` of the
+    disc center in world space (1.5 cells + small angular/length epsilons
+    are used for margin).  The screen is therefore exact-conservative: it
+    never excludes a disc that could produce a hit.
+
+    The ego's own disc is excluded: its hits satisfy the identical
+    ``in_ego`` predicate and are always erased downstream.
+    """
+    L = cfg.laserscan_length
+    cell = cfg.map_grid_cell_size
+    A_o = state.pos.shape[0]
+    r_max = (jnp.ceil(LASER_MAX_RANGE / LASER_RANGE_RESOLUTION) - 1.0) * (
+        LASER_RANGE_RESOLUTION
+    )
+
+    rel = state.pos[None, :, :] - pos_e[:, None, :]           # [A_ego, A_o, 2]
+    d = jnp.sqrt(rel[..., 0] ** 2 + rel[..., 1] ** 2)
+    rhit = (state.radius / cell + 1.5) * cell                  # [A_o]
+    reach_ok = d <= r_max + rhit[None, :] + 1e-3
+
+    phi = jnp.arctan2(rel[..., 1], rel[..., 0]) - heading_e[:, None]
+    phi = jnp.mod(phi + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    ratio = jnp.clip(rhit[None, :] / jnp.maximum(d, 1e-9), 0.0, 1.0)
+    half = jnp.arcsin(ratio) + 1e-3
+    inside = d <= rhit[None, :]
+
+    # Beam-block angular spans from the actual beam table.
+    angles_np = np.linspace(
+        float(LASER_MIN_ANGLE), float(LASER_MAX_ANGLE), L
+    ).reshape(num_blocks, L // num_blocks)
+    lo_b = jnp.asarray(angles_np[:, 0], phi.dtype)             # [B]
+    hi_b = jnp.asarray(angles_np[:, -1], phi.dtype)
+
+    # interval [phi-half, phi+half] (mod 2pi) vs block span: test the three
+    # unwrapped copies of phi.
+    isect = jnp.zeros(phi.shape + (num_blocks,), bool)
+    for shift in (-2.0 * jnp.pi, 0.0, 2.0 * jnp.pi):
+        pc = phi + shift
+        isect = isect | (
+            (pc[..., None] - half[..., None] <= hi_b)
+            & (pc[..., None] + half[..., None] >= lo_b)
+        )
+    ok = (isect | inside[..., None]) & reach_ok[..., None]     # [A_ego, A_o, B]
+    not_self = jnp.arange(A_o)[None, :] != ego_global[:, None]
+    return jnp.moveaxis(ok, -1, 1), not_self                   # [A_ego, B, A_o]
+
+
+def laserscan_wedge_candidate_counts(state, cfg, ego_idx=None, num_blocks=4):
+    """Diagnostic: per-(ego, block) count of discs passing the conservative
+    wedge screen.  ``laserscan_sparse`` with
+    ``cfg.laserscan_num_candidate_discs = C`` is bit-identical to the full
+    path iff this never exceeds C over the states being run (the screen
+    itself is exact-conservative; only slot overflow can drop a real hit).
+    """
+    H = int(cfg.map_y_width / cfg.map_grid_cell_size)
+    W = int(cfg.map_x_width / cfg.map_grid_cell_size)
+    pos_e = _ego_rows(state.pos, ego_idx)
+    heading_e = _ego_rows(state.heading, ego_idx)
+    ego_global = (
+        jnp.arange(state.pos.shape[0], dtype=jnp.int32)
+        if ego_idx is None
+        else jnp.asarray(ego_idx, jnp.int32)
+    )
+    _gi, _gj, center_in_map = map_grid.world_to_map(state.pos, cfg, (H, W))
+    disc_valid = center_in_map & state.valid
+    ok, not_self = _wedge_screen(state, cfg, pos_e, heading_e, ego_global,
+                                 num_blocks)
+    ok = ok & (disc_valid[None, None, :] & not_self[:, None, :])
+    return jnp.sum(ok, axis=-1)                                 # [A_ego, B]
+
+
 def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     """Gather-free laserscan: identical outputs to :func:`laserscan`, but
     occupancy is evaluated *analytically* instead of reading a rasterized
@@ -164,56 +245,145 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     disc_valid = center_in_map & state.valid                    # [A]
     gi = jnp.where(disc_valid, gi, 40000)
 
-    # All (agent, range, beam) sample points at once: [A, R, L].  Beams sit
-    # in the MINOR axis on purpose — L is a multiple of the VPU's 128
-    # lanes, so every broadcast/reduce axis added below lands in sublane
-    # position and tiles without padding (A_other=20 in the minor axis
-    # wasted 84% of each lane tile and dominated the profile).
+    # The hot pass below materializes all (agent, range, beam) sample
+    # points for its beam set at once: [A, R, Lb].  Beams sit in the MINOR
+    # axis on purpose — Lb is a multiple of the VPU's 128 lanes, so every
+    # broadcast/reduce axis added below lands in sublane position and
+    # tiles without padding (A_other=20 in the minor axis wasted 84% of
+    # each lane tile and dominated the profile).
+    #
+    # With cfg.laserscan_num_candidate_discs = C set, discs are first
+    # compacted per 128-beam block by the exact-conservative wedge screen
+    # (:func:`_wedge_screen`): only discs whose inflated tangent cone
+    # overlaps a block's angular span can hit its beams, so the hot reduce
+    # shrinks from A_o sources to C candidates.  Bit-identical to the full
+    # path as long as no (ego, block) exceeds C candidates — validate with
+    # :func:`laserscan_wedge_candidate_counts`.
+    A_o = state.pos.shape[0]
+    A_e = pos_e.shape[0]
     rr = rsamples[None, :, None]                                 # [1, R, 1]
-    px = pos_e[:, None, None, 0] + rr * cos_a[:, None, :]        # [A, R, L]
-    py = pos_e[:, None, None, 1] + rr * sin_a[:, None, :]
-    pts = jnp.stack([px, py], axis=-1)
-    ii, jj, in_map = map_grid.world_to_map(pts, cfg, (H, W))
+    gi_e = _ego_rows(gi, ego_idx)
+    gj_e = _ego_rows(gj, ego_idx)
+    rsq_e = _ego_rows(r_cells_sq, ego_idx)
 
-    # any agent disc contains the sample's cell  [A, R, A_other, L].
-    # This reduction is the hot loop at scale and profiles at VPU peak
-    # (~4 Tops/s) in this layout; int vs float square made no difference.
-    di = ii[:, :, None, :] - gi[None, None, :, None]
-    dj = jj[:, :, None, :] - gj[None, None, :, None]
-    in_disc = di * di + dj * dj < r_cells_sq[None, None, :, None]
-    agent_hit = jnp.any(in_disc, axis=2)                         # [A, R, L]
+    def _beam_block_ranges(cos_b, sin_b, gi_d, gj_d, rsq_d):
+        """Ranges [A_e, Lb] for the beams whose direction cosines are
+        ``cos_b/sin_b`` [A_e, Lb], against per-ego disc sets
+        ``gi_d/gj_d/rsq_d`` [A_e, S] (S = discs to test per ego).
 
-    # the ego's own disc is masked out of the whole map
-    # (LaserScanSensor.py:76-77) — a single [A, R, L] pass, no A_other axis
-    dei = ii - _ego_rows(gi, ego_idx)[:, None, None]
-    dej = jj - _ego_rows(gj, ego_idx)[:, None, None]
-    in_ego = (dei * dei + dej * dej
-              < _ego_rows(r_cells_sq, ego_idx)[:, None, None])
+        The disc reduce is the hot loop at scale and profiles at VPU peak
+        (~4 Tops/s); int vs float square made no difference.  Layout: the
+        disc axis sits OUTSIDE the (8, 128)-tiled minor two dims —
+        [A, S, R, Lb] tiles (R->64, Lb=128k) with 7% pad, vs the old
+        [A, R, S, L] which padded S=20 to 24 sublanes.
+        """
+        px = pos_e[:, None, None, 0] + rr * cos_b[:, None, :]    # [A, R, Lb]
+        py = pos_e[:, None, None, 1] + rr * sin_b[:, None, :]
+        pts = jnp.stack([px, py], axis=-1)
+        ii_b, jj_b, in_map_b = map_grid.world_to_map(pts, cfg, (H, W))
 
-    # static occupied-cell list membership  [A, R, S, L].  Padding rows are
-    # (-1, -1): only out-of-map samples can produce ii == -1, and those
-    # hits are erased by the `& in_map` below, so no explicit pad mask is
-    # needed in this pass.
-    if static_cells.shape[0] > 0:
-        static_hit = jnp.any(
-            (ii[:, :, None, :] == static_cells[None, None, :, 0, None])
-            & (jj[:, :, None, :] == static_cells[None, None, :, 1, None]),
-            axis=2,
+        di = ii_b[:, None, :, :] - gi_d[:, :, None, None]        # [A, S, R, Lb]
+        dj = jj_b[:, None, :, :] - gj_d[:, :, None, None]
+        in_disc = di * di + dj * dj < rsq_d[:, :, None, None]
+        agent_hit = jnp.any(in_disc, axis=1)                     # [A, R, Lb]
+
+        # the ego's own disc is masked out of the whole map
+        # (LaserScanSensor.py:76-77) — a single [A, R, Lb] pass
+        dei = ii_b - gi_e[:, None, None]
+        dej = jj_b - gj_e[:, None, None]
+        in_ego = dei * dei + dej * dej < rsq_e[:, None, None]
+
+        # static occupied-cell list membership  [A, S, R, Lb] (cell axis
+        # outside the tiled minor dims, same layout rationale).  Padding
+        # rows are (-1, -1): only out-of-map samples can produce ii == -1,
+        # and those hits are erased by the `& in_map` below, so no explicit
+        # pad mask is needed in this pass.
+        if static_cells.shape[0] > 0:
+            static_hit = jnp.any(
+                (ii_b[:, None, :, :] == static_cells[None, :, 0, None, None])
+                & (jj_b[:, None, :, :] == static_cells[None, :, 1, None, None]),
+                axis=1,
+            )
+        else:
+            static_hit = jnp.zeros_like(agent_hit)
+
+        hit = (agent_hit | static_hit) & ~in_ego & in_map_b      # [A, R, Lb]
+        kk = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+        BIG = R + 1
+        k1 = jnp.min(jnp.where(hit, kk, BIG), axis=1)            # first hit
+        k2 = jnp.min(jnp.where(hit & (kk > k1[:, None, :]), kk, BIG), axis=1)
+        ans_k = jnp.where(k1 >= BIG, -1, jnp.where(k2 >= BIG, R - 1, k2 - 1))
+        best = jnp.sum(
+            jnp.where(
+                kk == ans_k[:, None, :], jnp.broadcast_to(rr, hit.shape), 0.0
+            ),
+            axis=1,
         )
-    else:
-        static_hit = jnp.zeros_like(agent_hit)
+        return jnp.where(ans_k >= 0, best, LASER_MAX_RANGE).astype(dtype)
 
-    hit = (agent_hit | static_hit) & ~in_ego & in_map            # [A, R, L]
-    kk = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
-    BIG = R + 1
-    k1 = jnp.min(jnp.where(hit, kk, BIG), axis=1)                # first hit
-    k2 = jnp.min(jnp.where(hit & (kk > k1[:, None, :]), kk, BIG), axis=1)
-    ans_k = jnp.where(k1 >= BIG, -1, jnp.where(k2 >= BIG, R - 1, k2 - 1))
-    best = jnp.sum(
-        jnp.where(kk == ans_k[:, None, :], jnp.broadcast_to(rr, hit.shape), 0.0),
-        axis=1,
+    C = cfg.laserscan_num_candidate_discs
+    use_wedge = C is not None and C < A_o - 1 and L % 128 == 0
+    if not use_wedge:
+        gi_all = jnp.broadcast_to(gi[None, :], (A_e, A_o))
+        gj_all = jnp.broadcast_to(gj[None, :], (A_e, A_o))
+        rsq_all = jnp.broadcast_to(r_cells_sq[None, :], (A_e, A_o))
+        return _beam_block_ranges(cos_a, sin_a, gi_all, gj_all, rsq_all)
+
+    # Wedge-culled path: compact each 128-beam block's candidate discs via
+    # the exact-conservative angular screen, then run the blocks through a
+    # lax.scan whose body is one fused [A, C, R, 128] pass (per-block
+    # [A, C] candidate scalars broadcast freely into the fusion).  Two
+    # rejected variants, both measured slower on TPU: expanding candidates
+    # to [A, C, L] via repeat spent the whole saving on materializing
+    # those arrays; a static Python loop over blocks made XLA materialize
+    # the shared [A, R, L] sample arrays once per consumer.
+    B = L // 128
+    heading_e = _ego_rows(state.heading, ego_idx)
+    ego_global = (
+        jnp.arange(A_o, dtype=jnp.int32)
+        if ego_idx is None
+        else jnp.asarray(ego_idx, jnp.int32)
     )
-    return jnp.where(ans_k >= 0, best, LASER_MAX_RANGE).astype(dtype)
+    ok, not_self = _wedge_screen(state, cfg, pos_e, heading_e,
+                                 ego_global, B)                  # [A, B, A_o]
+    ok = ok & disc_valid[None, None, :] & not_self[:, None, :]
+    # compact to C slots per (ego, block): stable cumsum rank + one-hot
+    # contraction (no sort/gather — both scalarize on TPU)
+    slot = jnp.cumsum(ok.astype(jnp.int32), axis=-1) - 1         # [A, B, A_o]
+    onehot = (
+        ok[:, :, None, :]
+        & (slot[:, :, None, :] == jnp.arange(C)[None, None, :, None])
+    ).astype(jnp.float32)                                        # [A, B, C, A_o]
+    occupied = jnp.arange(C)[None, None, :] < jnp.sum(
+        ok, axis=-1, dtype=jnp.int32
+    )[:, :, None]                                                # [A, B, C]
+    gi_c = jnp.einsum("abco,o->abc", onehot, gi.astype(jnp.float32))
+    gj_c = jnp.einsum("abco,o->abc", onehot, gj.astype(jnp.float32))
+    rsq_c = jnp.einsum("abco,o->abc", onehot, r_cells_sq.astype(jnp.float32))
+    # empty slots get the same far-out sentinel as invalid discs
+    gi_c = jnp.where(occupied, gi_c, 40000.0).astype(jnp.int32)
+    gj_c = jnp.where(occupied, gj_c, 0.0).astype(jnp.int32)
+    rsq_c = jnp.where(occupied, rsq_c, 0.0).astype(r_cells_sq.dtype)
+
+    cos_blocks = jnp.moveaxis(cos_a.reshape(A_e, B, 128), 1, 0)  # [B, A, 128]
+    sin_blocks = jnp.moveaxis(sin_a.reshape(A_e, B, 128), 1, 0)
+
+    def block_body(_, x):
+        cos_b, sin_b, gi_cb, gj_cb, rsq_cb = x
+        return None, _beam_block_ranges(cos_b, sin_b, gi_cb, gj_cb, rsq_cb)
+
+    _, out = jax.lax.scan(
+        block_body,
+        None,
+        (
+            cos_blocks,
+            sin_blocks,
+            jnp.moveaxis(gi_c, 1, 0),                            # [B, A, C]
+            jnp.moveaxis(gj_c, 1, 0),
+            jnp.moveaxis(rsq_c, 1, 0),
+        ),
+    )                                                            # [B, A, 128]
+    return jnp.moveaxis(out, 0, 1).reshape(A_e, L)
 
 
 def occupancy_grid(state, cfg, dynamic_map):

@@ -160,9 +160,15 @@ def main():
         print(json.dumps(results[-1]), flush=True)
 
     if want("ga3c20_laser"):
+        # laserscan_num_candidate_discs=10: per-beam-block disc culling,
+        # bit-identical while wedge candidate counts stay <= 10 — this
+        # scenario's trajectory peaks at 8 (validated in
+        # tests/test_maps_sensors.py and obs.sensors.
+        # laserscan_wedge_candidate_counts).
         cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
                         agent_sorting_method="closest_last", use_static_map=True,
-                        map_x_width=20.0, map_y_width=20.0)
+                        map_x_width=20.0, map_y_width=20.0,
+                        laserscan_num_candidate_discs=10)
         sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
                                      policy="GA3C_CADRL")
         params = {"ga3c_cadrl": ga3c_cadrl.load_params()}

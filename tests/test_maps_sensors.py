@@ -218,6 +218,42 @@ def test_laserscan_sparse_matches_gather_path():
         np.testing.assert_array_equal(dense, sparse, err_msg=f"trial {trial}")
 
 
+def test_laserscan_wedge_culled_matches_full():
+    """The per-beam-block disc-culled sparse path
+    (cfg.laserscan_num_candidate_discs) must be bit-identical to the full
+    sparse path whenever the conservative wedge screen's candidate counts
+    stay <= C (laserscan_wedge_candidate_counts is the validity check)."""
+    import dataclasses
+
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    rng = np.random.RandomState(11)
+    checked = 0
+    for trial in range(8):
+        A = 12
+        pos = rng.uniform(-6.0, 6.0, (A, 2))
+        radius = rng.uniform(0.2, 0.5, A)
+        heading = rng.uniform(-np.pi, np.pi, A)
+        state = init_state(cfg, pos=pos, goal=pos + 3, radius=radius,
+                           pref_speed=np.ones(A), heading=heading)
+        full = np.asarray(sensors.laserscan_sparse(state, cfg, cells))
+        for C in (4, 6, 8):
+            cfg_w = dataclasses.replace(cfg, laserscan_num_candidate_discs=C)
+            culled = np.asarray(sensors.laserscan_sparse(state, cfg_w, cells))
+            counts = np.asarray(
+                sensors.laserscan_wedge_candidate_counts(state, cfg)
+            )
+            if counts.max() <= C:
+                np.testing.assert_array_equal(
+                    full, culled, err_msg=f"trial {trial} C={C}"
+                )
+                checked += 1
+    # the screen must actually be selective enough for the equality branch
+    # to have been exercised
+    assert checked >= 8
+
+
 def test_env_step_sparse_laserscan_end_to_end():
     cfg = _cfg()
     static_np = map_grid.load_static_map(cfg, MAP_PNG)
