@@ -88,6 +88,33 @@ def main(argv=None):
     for r in rows:
         r["efficiency"] = r["per_device"] / base_rate
 
+    # Strong-scaling / fixed-total-work pass: the SAME env batch sharded
+    # over growing mesh sizes.  On the virtual-CPU mesh the physical cores
+    # are identical in every row, so rate_N / rate_1 isolates pure
+    # sharding + collective overhead (the weak-scaling table above
+    # conflates it with core oversubscription when
+    # virtual devices > physical cores).
+    E_fixed = args.envs_per_device * sizes[-1]
+    strong = []
+    for n in sizes:
+        mesh = dist.global_mesh(devices=all_devices[:n])
+        run = dist.make_distributed_rollout(
+            cfg, args.steps, mesh, active_policies=sc.active_policies
+        )
+        best = 0.0
+        for _ in range(args.reps):
+            states = dist.host_local_batch(lambda i: base, E_fixed, mesh)
+            t0 = time.perf_counter()
+            final, metrics = run(states)
+            jax.block_until_ready(metrics)
+            dtime = time.perf_counter() - t0
+            best = max(best, E_fixed * args.num_agents * args.steps / dtime)
+        strong.append({"devices": n, "envs": E_fixed,
+                       "agent_steps_per_s": best,
+                       "vs_1dev": best / (strong[0]["agent_steps_per_s"]
+                                          if strong else best)})
+        print(json.dumps(strong[-1]))
+
     if args.out:
         lines = [
             "# Weak-scaling measurement (shard_map rollout)",
@@ -107,6 +134,28 @@ def main(argv=None):
             lines.append(
                 f"| {r['devices']} | {r['envs']} | {r['agent_steps_per_s']:.3e} "
                 f"| {r['per_device']:.3e} | {r['efficiency']:.2f} |"
+            )
+        lines += [
+            "",
+            "## Sharding overhead (fixed total work)",
+            "",
+            f"The same {E_fixed}-env batch sharded over growing mesh "
+            "sizes.  On the virtual mesh the physical cores are identical "
+            "in every row, so the ratio vs the 1-device row shows what "
+            "sharding buys/costs with compute held constant: > 1.00 means "
+            "the sharded program extracts real multi-core parallelism a "
+            "single XLA CPU device leaves unused; a drop past the "
+            "physical-core count is oversubscription, not collective "
+            "overhead.  (The weak-scaling efficiency above conflates both "
+            "effects when virtual devices > physical cores.)",
+            "",
+            "| devices | envs | agent-steps/s | vs 1 device |",
+            "|---:|---:|---:|---:|",
+        ]
+        for r in strong:
+            lines.append(
+                f"| {r['devices']} | {r['envs']} | "
+                f"{r['agent_steps_per_s']:.3e} | {r['vs_1dev']:.2f} |"
             )
         lines.append("")
         with open(args.out, "w") as f:
