@@ -139,16 +139,21 @@ def build(E, T, seed=0, dtype="float32", num_agents=2):
             step, (states, obs, rng), None, length=T
         )
         returns = jnp.sum(rews, axis=0)                         # [E]
-        # per-scenario baseline: env i runs pool case i % P, so comparing
-        # against same-case peers removes the (large) case-difficulty
-        # variance that otherwise drowns the action signal
+        # reward-to-go: each action's weight is only the reward it can
+        # still influence (rtg[t] = sum_{t' >= t} r[t']) — strictly lower
+        # gradient variance than weighting every logp by the full return
+        rtg = jnp.cumsum(rews[::-1], axis=0)[::-1]              # [T, E]
+        # per-(scenario, t) baseline: env i runs pool case i % P, so
+        # comparing against same-case peers at the same timestep removes
+        # the (large) case-difficulty variance that otherwise drowns the
+        # action signal
         Pn = pool.shape[0]
         sc = jnp.arange(E) % Pn
         onehot = (sc[:, None] == jnp.arange(Pn)[None, :]).astype(jnp.float32)
         cnt = jnp.maximum(onehot.sum(0), 1.0)
-        base = onehot @ ((onehot.T @ returns) / cnt)
-        adv = returns - base
-        loss = -jnp.mean(jnp.sum(logps, axis=0) * jax.lax.stop_gradient(adv))
+        base = ((rtg @ onehot) / cnt) @ onehot.T                # [T, E]
+        adv = rtg - base
+        loss = -jnp.mean(jnp.sum(logps * jax.lax.stop_gradient(adv), axis=0))
         return loss, jnp.mean(returns)
 
     @jax.jit
