@@ -254,6 +254,45 @@ def test_laserscan_wedge_culled_matches_full():
     assert checked >= 8
 
 
+def test_env_step_wedge_culled_trajectory_bit_identical():
+    """Full env steps with cfg.laserscan_num_candidate_discs set must be
+    bit-identical to the uncled config over a multi-step 20-agent
+    trajectory (the bench configuration's correctness contract)."""
+    import dataclasses
+
+    import jax
+
+    from gym_collision_avoidance_tpu.env.batch import batched_env_step
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last", use_static_map=True,
+                    map_x_width=20.0, map_y_width=20.0)
+    cfg_w = dataclasses.replace(cfg, laserscan_num_candidate_discs=10)
+    sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
+                                 policy="GA3C_CADRL")
+    params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+    cells = jnp.asarray(map_grid.occupied_cell_list(
+        map_grid.load_static_map(cfg, None)))
+    E = 2
+    state = sc.to_state(cfg)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape), state)
+    active = sc.active_policies
+    sensors_t = ("other_agents_states", "laserscan")
+
+    sf = sw = states
+    for t in range(40):
+        sf, _o, _r, _g, _i = batched_env_step(
+            sf, None, cfg, params, active, sensors_t, ("dist_to_goal",),
+            None, cells)
+        sw, _o, _r, _g, _i = batched_env_step(
+            sw, None, cfg_w, params, active, sensors_t, ("dist_to_goal",),
+            None, cells)
+    for a, b in zip(jax.tree.leaves(sf), jax.tree.leaves(sw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_env_step_sparse_laserscan_end_to_end():
     cfg = _cfg()
     static_np = map_grid.load_static_map(cfg, MAP_PNG)
