@@ -112,6 +112,18 @@ def main():
         results.append(bench_config("ga3c4", cfg, sc, params, E // 4, S))
         print(json.dumps(results[-1]), flush=True)
 
+    if want("ga3c4_bf16"):
+        # bf16 serving fast path: matmul weights in bf16 (norm constants
+        # stay f32; TPU MXU accumulates in f32).  NOT bit-identical to the
+        # f32 path — >=98% action agreement (tests/test_ga3c.py).
+        cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                        agent_sorting_method="closest_last")
+        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5,
+                                     policy="GA3C_CADRL")
+        params = {"ga3c_cadrl": ga3c_cadrl.load_params(dtype=jnp.bfloat16)}
+        results.append(bench_config("ga3c4_bf16", cfg, sc, params, E // 4, S))
+        print(json.dumps(results[-1]), flush=True)
+
     if want("autoreset4"):
         # steady-state "serving" loop: episodes reset in-graph from a
         # scenario pool, so throughput includes reset + fresh-obs cost
