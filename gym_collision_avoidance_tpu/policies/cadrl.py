@@ -57,39 +57,44 @@ def _mod_wrap(a):
 
 def _candidate_actions(s10):
     """The 47 candidate (speed, global-heading) pairs
-    (find_actions_theta, nn_navigation_value_multi.py:561-647)."""
+    (find_actions_theta, nn_navigation_value_multi.py:561-647).
+
+    Returned as two separate [47] vectors rather than one [47, 2] array:
+    a trailing size-2 axis fills 2 of 128 VPU lanes and its layout copy
+    was the single largest op in the round-2 device trace (16% of the
+    step).  The reference wraps the heading COLUMN after assembly
+    (find_actions_theta's mod on the stacked array); wrapping each
+    block's angles at the source is elementwise-identical
+    (_mod_wrap(0) == 0, so the zero row needs no wrap)."""
     pref = s10[5]
     cur_speed = jnp.sqrt(s10[2] ** 2 + s10[3] ** 2)
-    # The reference wraps the heading COLUMN after assembly
-    # (find_actions_theta's mod on the stacked array); wrapping each
-    # block's angles at the source is elementwise-identical and avoids a
-    # post-concat scatter that forced a pathological 2-lane layout copy
-    # (copy.3432, 15% of the round-2 device trace).  _mod_wrap(0) == 0, so
-    # the zero row needs no wrap.
-    default = jnp.stack([cur_speed, _mod_wrap(s10[4])])
 
     desired_angle = _mod_wrap(jnp.arctan2(s10[7] - s10[1], s10[6] - s10[0]))
     desired_scales = jnp.array([1.0, 0.80, 0.60, 0.40, 0.20])
-    desired = jnp.stack(
-        [pref * desired_scales, jnp.full((5,), desired_angle)], axis=-1
-    )
-
-    zero = jnp.zeros((1, 2))
 
     near_headings = _mod_wrap(
         s10[4] + jnp.linspace(-jnp.pi / 3.0, jnp.pi / 3.0, 10)
     )
     near_scales = jnp.array([1.0, 0.75, 0.50, 0.25])
     near_speed = pref * near_scales                               # [4]
-    near = jnp.stack(
-        [
-            jnp.repeat(near_speed, 10),
-            jnp.tile(near_headings, 4),
-        ],
-        axis=-1,
-    )                                                             # [40, 2]
 
-    return jnp.concatenate([default[None], desired, zero, near], axis=0)
+    speeds = jnp.concatenate(
+        [
+            cur_speed[None],
+            pref * desired_scales,
+            jnp.zeros((1,)),
+            jnp.repeat(near_speed, 10),
+        ]
+    )                                                             # [47]
+    headings = jnp.concatenate(
+        [
+            _mod_wrap(s10[4])[None],
+            jnp.full((5,), desired_angle),
+            jnp.zeros((1,)),
+            jnp.tile(near_headings, 4),
+        ]
+    )                                                             # [47]
+    return speeds, headings
 
 
 def _close_actions_table():
@@ -119,7 +124,8 @@ def _candidate_actions_rotate(s10):
     [default, desired, close, turning] so first-max argmax tie-breaking is
     preserved once invalid rows are masked to -inf.
 
-    Returns (actions [38, 2], valid [38] bool)."""
+    Returns (speeds [38], headings [38], valid [38] bool) — split vectors
+    for the same lane-layout reason as :func:`_candidate_actions`."""
     dtype = s10.dtype
     pref = s10[5]
     cur_heading = s10[4]
@@ -133,30 +139,27 @@ def _candidate_actions_rotate(s10):
         jnp.abs(_mod_wrap(default_heading - cur_heading)) < angle_lim
     ) & (cur_speed > 0.05)
 
-    default_block = jnp.stack(
+    close = jnp.asarray(_CLOSE_ACTIONS, dtype)
+    turn_frac = jnp.array([1.0, 0.66, 0.33, -0.33, -0.66, -1.0], dtype)
+
+    speeds = jnp.concatenate(
         [
             jnp.array([1.0, 0.75], dtype) * cur_speed,
-            jnp.full((2,), default_heading),
-        ],
-        axis=-1,
-    )
-    desired_block = jnp.stack(
-        [
             jnp.array([1.0, 0.80, 0.60, 0.40, 0.20], dtype) * pref,
-            jnp.full((5,), desired_heading),
-        ],
-        axis=-1,
-    )
-    close = jnp.asarray(_CLOSE_ACTIONS, dtype)
-    close = jnp.stack([close[:, 0] * pref, close[:, 1] + cur_heading], axis=-1)
-    turn_frac = jnp.array([1.0, 0.66, 0.33, -0.33, -0.66, -1.0], dtype)
-    turning = jnp.stack(
-        [jnp.zeros((6,), dtype), turn_frac * TURNING_LIMIT + cur_heading],
-        axis=-1,
-    )
-
-    actions = jnp.concatenate([default_block, desired_block, close, turning])
-    actions = actions.at[:, 1].set(_mod_wrap(actions[:, 1]))
+            close[:, 0] * pref,
+            jnp.zeros((6,), dtype),
+        ]
+    )                                                             # [38]
+    headings = _mod_wrap(
+        jnp.concatenate(
+            [
+                jnp.full((2,), default_heading),
+                jnp.full((5,), desired_heading),
+                close[:, 1] + cur_heading,
+                turn_frac * TURNING_LIMIT + cur_heading,
+            ]
+        )
+    )                                                             # [38]
     valid = jnp.concatenate(
         [
             jnp.repeat(default_on, 2),
@@ -164,7 +167,7 @@ def _candidate_actions_rotate(s10):
             jnp.ones((25 + 6,), bool),
         ]
     )
-    return actions, valid
+    return speeds, headings, valid
 
 
 def _update_states(s10, actions, dt, mode: str = "no_constr"):
@@ -176,26 +179,27 @@ def _update_states(s10, actions, dt, mode: str = "no_constr"):
     ``mode`` selects the next-heading rule (:1751-1777): no_constr takes the
     action heading verbatim; rotate_constr clips the heading change to the
     turning limit pref_speed / 0.5 * dt."""
-    n = actions.shape[0]
-    c = jnp.cos(actions[:, 1])
-    s = jnp.sin(actions[:, 1])
+    speed, heading = actions
+    n = speed.shape[0]
+    c = jnp.cos(heading)
+    s = jnp.sin(heading)
     ones = jnp.ones((n,), s10.dtype)
     if mode == "no_constr":
-        heading_next = actions[:, 1]
+        heading_next = heading
     elif mode == "rotate_constr":
         limit = s10[5] / 0.5 * dt
         heading_next = _mod_wrap(
-            s10[4] + jnp.clip(_mod_wrap(actions[:, 1] - s10[4]), -limit, limit)
+            s10[4] + jnp.clip(_mod_wrap(heading - s10[4]), -limit, limit)
         )
     else:
         raise ValueError(f"unknown CADRL mode {mode!r}")
     # column stack (tile + scatter-update forces layout copies on TPU)
     return jnp.stack(
         [
-            s10[0] + actions[:, 0] * c * dt,
-            s10[1] + actions[:, 0] * s * dt,
-            actions[:, 0] * c,
-            actions[:, 0] * s,
+            s10[0] + speed * c * dt,
+            s10[1] + speed * s * dt,
+            speed * c,
+            speed * s,
             heading_next,
             s10[5] * ones,
             s10[6] * ones,
@@ -225,11 +229,13 @@ def _seg_min_dists(x1, x2, y1, y2):
 
 def _if_actions_collide(s10, actions, other_s10, other_action, dt):
     """(min_dists[47], if_collide[47]) vs one other agent
-    (if_actions_collide, :1874-2007)."""
+    (if_actions_collide, :1874-2007).  ``actions`` is the (speed, heading)
+    vector pair."""
+    speed, heading = actions
     pref = s10[5]
     other_speed = other_action[0]
     radius = s10[8] + other_s10[8] + RADIUS_BUFFER
-    n = actions.shape[0]
+    n = speed.shape[0]
 
     p_e = s10[0:2]
     p_o = other_s10[0:2]
@@ -237,7 +243,7 @@ def _if_actions_collide(s10, actions, other_s10, other_action, dt):
     too_far = dist_eo > (pref + other_speed) * dt + radius
 
     agent_vels = jnp.stack(
-        [actions[:, 0] * jnp.cos(actions[:, 1]), actions[:, 0] * jnp.sin(actions[:, 1])],
+        [speed * jnp.cos(heading), speed * jnp.sin(heading)],
         axis=-1,
     )
     other_v = jnp.array(
@@ -418,20 +424,21 @@ def _encode(agent_next, others_next, others_present):
     ref_angle = jnp.arctan2(ref_prll[:, 1], ref_prll[:, 0])
     heading = _mod_wrap(agent_next[:, 4] - ref_angle)
     cur_speed = jnp.linalg.norm(agent_next[:, 2:4], axis=1)
-    host = jnp.stack(
-        [
-            dist_to_goal,
-            agent_next[:, 5],
-            cur_speed,
-            heading,
-            cur_speed * jnp.cos(heading),
-            cur_speed * jnp.sin(heading),
-            agent_next[:, 8],
-        ],
-        axis=-1,
-    )                                                             # [n, 7]
+    # Assemble the 31 feature columns and stack ONCE — the earlier
+    # stack-blocks / stack-slots / where / reshape / concat chain showed up
+    # in the device trace as ~15% of the step in small concatenates and
+    # their feeding layout copies.
+    cols = [
+        dist_to_goal,
+        agent_next[:, 5],
+        cur_speed,
+        heading,
+        cur_speed * jnp.cos(heading),
+        cur_speed * jnp.sin(heading),
+        agent_next[:, 8],
+    ]                                                             # host, 7
 
-    blocks = []
+    block_cols = []
     for i in range(NUM_SLOTS):
         o = others_next[i]
         rel = o[0:2] - agent_next[:, 0:2]
@@ -448,14 +455,16 @@ def _encode(agent_next, others_next, others_present):
             10,
         )
         is_on = jnp.where(ovx**2 + ovy**2 < EPS, 2.0, 1.0)
-        blocks.append(jnp.stack([ovx, ovy, rel_x, rel_y, o_r, comb, d2o, is_on], -1))
-    blocks = jnp.stack(blocks, axis=1)                            # [n, 3, 8]
+        block_cols.append([ovx, ovy, rel_x, rel_y, o_r, comb, d2o, is_on])
 
-    absent_block = jnp.concatenate(
-        [blocks[:, 0, :7], jnp.zeros((n, 1))], axis=-1
-    )
-    blocks = jnp.where(others_present[None, :, None], blocks, absent_block[:, None, :])
-    return jnp.concatenate([host, blocks.reshape(n, -1)], axis=-1)  # [n, 31]
+    zero = jnp.zeros((n,), agent_next.dtype)
+    for i in range(NUM_SLOTS):
+        on = others_present[i]
+        for f in range(8):
+            # absent slots read block 0's first 7 fields with is_on = 0
+            absent = block_cols[0][f] if f < 7 else zero
+            cols.append(jnp.where(on, block_cols[i][f], absent))
+    return jnp.stack(cols, axis=-1)                               # [n, 31]
 
 
 def _swap_slot0(rows, present, closest):
@@ -568,10 +577,11 @@ def _cadrl_prepare(h, state, cfg):
     )
 
     if cfg.cadrl_mode == "rotate_constr":
-        actions, action_valid = _candidate_actions_rotate(s10)    # [38, 2]
+        a_speed, a_heading, action_valid = _candidate_actions_rotate(s10)
     else:
-        actions = _candidate_actions(s10)                         # [47, 2]
-        action_valid = jnp.ones((actions.shape[0],), bool)
+        a_speed, a_heading = _candidate_actions(s10)              # [47] x2
+        action_valid = jnp.ones((a_speed.shape[0],), bool)
+    actions = (a_speed, a_heading)
 
     # --- collisions vs each present other (:1005-1017) ---
     def per_other(other_s10, other_act):
@@ -616,7 +626,7 @@ def _cadrl_prepare(h, state, cfg):
     first_sel = jnp.argmax(needs_nn & action_valid)               # 0 if none
     # one-hot contraction instead of agent_next[first_sel] (gathers
     # scalarize on TPU)
-    sel_onehot = (jnp.arange(actions.shape[0]) == first_sel).astype(dtype)
+    sel_onehot = (jnp.arange(a_speed.shape[0]) == first_sel).astype(dtype)
     first_pos = sel_onehot @ agent_next[:, 0:2]                   # [2]
     d_reorder = jnp.where(
         present,
@@ -628,7 +638,8 @@ def _cadrl_prepare(h, state, cfg):
 
     states_nn = _encode(agent_next, others_next_r, present_r)     # [47, 31]
     aux = {
-        "actions": actions,
+        "action_speed": a_speed,
+        "action_heading": a_heading,
         "action_valid": action_valid,
         "action_rewards": action_rewards,
         "if_collide": if_collide,
@@ -647,7 +658,8 @@ def _cadrl_prepare(h, state, cfg):
 def _cadrl_finish(aux, nn_raw):
     """Value bounding, combination, and argmax after the net call
     (:1284-1295, 2052-2100, CADRLPolicy.py:71-81)."""
-    actions = aux["actions"]
+    a_speed = aux["action_speed"]
+    a_heading = aux["action_heading"]
     nn_vals = jnp.clip(nn_raw, -0.25, 1.0)
     nn_vals = jnp.minimum(GAMMA ** (aux["dist_col"] / DT_NORMAL), nn_vals)
 
@@ -657,7 +669,7 @@ def _cadrl_finish(aux, nn_raw):
         jnp.where(aux["reached"], GAMMA ** (aux["d_next"] / DT_NORMAL), nn_vals),
     )
 
-    dt_vec = 0.2 * aux["dt_forward"] + 0.8 * actions[:, 0] / aux["pref"] * aux["dt_forward"]
+    dt_vec = 0.2 * aux["dt_forward"] + 0.8 * a_speed / aux["pref"] * aux["dt_forward"]
     values = aux["action_rewards"] + GAMMA ** (
         dt_vec * aux["pref"] / DT_NORMAL
     ) * state_values
@@ -667,14 +679,18 @@ def _cadrl_finish(aux, nn_raw):
     values = jnp.where(aux["action_valid"], values, -jnp.inf)
 
     best = jnp.argmax(values)
-    best_action = actions[best]
+    # one-hot contraction instead of a_speed[best] (per-row dynamic gathers
+    # scalarize on TPU); the 1.0/0.0 dot selects the value exactly
+    best_onehot = (jnp.arange(a_speed.shape[0]) == best).astype(a_speed.dtype)
+    best_speed = best_onehot @ a_speed
+    best_heading = best_onehot @ a_heading
 
     # wrapper: heading becomes an offset from the current heading
     # (CADRLPolicy.py:78); with no visible others, head straight to goal at
     # speed 1.0 (the reference's intent at CADRLPolicy.py:80 — its literal
     # code would raise AttributeError, so the fallback can't fire there).
     action = jnp.stack(
-        [best_action[0], maths.wrap(best_action[1] - aux["heading_h"])]
+        [best_speed, maths.wrap(best_heading - aux["heading_h"])]
     )
     dtype = action.dtype
     fallback = jnp.stack(

@@ -227,8 +227,9 @@ def test_passing_side_cost_fires(ref_rotate_net):
     others_s10 = jnp.zeros((3, 10)).at[0].set(jnp.asarray(other_state))
     others_act = jnp.zeros((3, 2)).at[0].set(jnp.asarray(other_action))
     present = jnp.array([True, False, False])
+    at = jnp.asarray(actions_theta)
     agent_next = cadrl_policy._update_states(
-        s10, jnp.asarray(actions_theta), dt_forward
+        s10, (at[:, 0], at[:, 1]), dt_forward
     )
     others_next = cadrl_policy._update_states_others(
         others_s10, others_act, dt_forward
