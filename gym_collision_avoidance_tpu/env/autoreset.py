@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_collision_avoidance_tpu.config import EnvConfig
 from gym_collision_avoidance_tpu.core import maths
@@ -41,6 +42,69 @@ def state_from_case(cfg: EnvConfig, case, policy_id, dynamics_id=None, rng=None)
     )
 
 
+def _pack_pool(tree, acc):
+    """Split a pool pytree (leaves ``[N, ...]``) for the packed reset-select.
+
+    Returns ``(pool_flat, plan, treedef)`` where ``pool_flat`` is one
+    ``[N, D]`` matrix holding every leaf that actually VARIES across pool
+    entries (cast to the accumulation dtype), and ``plan`` describes, per
+    leaf, how to rebuild it:
+
+    - ``("const", row)``   — identical in every pool entry (zeros, reset
+      flags, wiring ids): the fresh value is the literal ``row``, no
+      contraction needed; its select fuses as pure elementwise math.
+    - ``("slice", off, shape, dtype)`` — varying: read ``shape`` values at
+      column ``off`` of the contracted row and cast back.
+
+    The float round-trip is exact: f32 leaves pass through unchanged,
+    int32 leaves hold values far below 2**24, bools are 0/1.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    plan = []
+    cols = []
+    off = 0
+    for leaf in leaves:
+        host = np.asarray(leaf)
+        if (
+            leaf.size == 0
+            or jnp.issubdtype(leaf.dtype, jnp.unsignedinteger)
+            or bool(np.all(host == host[:1]))
+        ):
+            # uint leaves are PRNG keys (overridden by the caller with the
+            # live stream); everything else here is constant across the pool.
+            plan.append(("const", leaf[0]))
+            continue
+        flat = leaf.reshape(leaf.shape[0], -1).astype(acc)
+        size = flat.shape[1]
+        plan.append(("slice", off, leaf.shape[1:], leaf.dtype))
+        cols.append(flat)
+        off += size
+    n_rows = leaves[0].shape[0] if leaves else 1
+    pool_flat = (
+        jnp.concatenate(cols, axis=1) if cols else jnp.zeros((n_rows, 0), acc)
+    )
+    return pool_flat, plan, treedef
+
+
+def _unpack_row(row, plan, treedef):
+    """Rebuild the pytree for one contracted ``[D]`` row (see _pack_pool)."""
+    out = []
+    for entry in plan:
+        if entry[0] == "const":
+            out.append(entry[1])
+            continue
+        _, off, shape, dtype = entry
+        seg = jax.lax.slice(row, (off,), (off + int(np.prod(shape, dtype=np.int64)),))
+        seg = seg.reshape(shape)
+        if dtype == jnp.bool_:
+            out.append(seg > 0.5)
+        elif jnp.issubdtype(dtype, jnp.floating):
+            out.append(seg.astype(dtype))
+        else:
+            out.append(jnp.round(seg).astype(dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
 def make_autoreset_step(
     cfg: EnvConfig,
     pool,
@@ -49,12 +113,22 @@ def make_autoreset_step(
     sensors: Tuple[str, ...] = ("other_agents_states",),
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
     params=None,
+    packed: bool = False,
 ):
     """Build a single-env step fn with reset-where-done semantics.
 
     Args:
         pool: [N, A, 6] scenario pool (device array).
         policy_id: [A] int32 applied to every episode.
+        packed: select fresh rows through ONE ``[E, N] x [N, D]``
+            contraction over a pre-flattened pool matrix instead of one
+            contraction per pytree leaf.  Bit-identical (tested) but a
+            measured 11% SLOWER on TPU (1.07e7 vs 1.20e7 env-steps/s,
+            within-session A/B at E=8192/S=1024): the wide dot's output
+            must be sliced per leaf at lane-unaligned offsets, and each
+            slice costs a lane-shift layout copy, while per-leaf dots
+            write every leaf in its natural layout directly.  Kept (off)
+            as a recorded negative result.
 
     Returns:
         step(state, counter) -> (state', counter', obs, rewards, game_over)
@@ -81,6 +155,16 @@ def make_autoreset_step(
         )
     )(pool)
 
+    # Packed layout: a round-2 serving-loop device trace showed ~75% of
+    # step time in the reset-select — each of the ~60 state/obs leaves ran
+    # its own tiny [E, N] x [N, ...] dot plus a separate where-fusion, so
+    # the loop was op-count-bound, not bandwidth-bound.  Packing every
+    # VARYING leaf into one [N, D] matrix collapses those into a single
+    # dot whose output the per-leaf selects read by slicing (fusible);
+    # constant-at-reset leaves (zeros, latches, wiring) skip the
+    # contraction entirely.
+    pool_flat, plan, treedef = _pack_pool((pool_states, pool_obs), acc)
+
     def pick(onehot_f, leaf):
         """Select one [N, ...] pool row by one-hot contraction (exact: a
         single 1.0 coefficient against finite values; integers stay below
@@ -105,9 +189,13 @@ def make_autoreset_step(
         # envs/vec_env.py:120-128): on reset steps the returned obs is the
         # NEW episode's first observation, matching the returned state.
         onehot_f = (jnp.arange(N) == counter % N).astype(acc)
-        fresh = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_states)
+        if packed:
+            fresh_row = onehot_f @ pool_flat
+            fresh, fresh_obs = _unpack_row(fresh_row, plan, treedef)
+        else:
+            fresh = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_states)
+            fresh_obs = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_obs)
         fresh = fresh.replace(rng=state.rng)
-        fresh_obs = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_obs)
 
         def sel(new, old):
             return jnp.where(jnp.reshape(game_over, (1,) * old.ndim), new, old)
