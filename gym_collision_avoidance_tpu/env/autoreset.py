@@ -166,16 +166,22 @@ def make_autoreset_step(
     pool_flat, plan, treedef = _pack_pool((pool_states, pool_obs), acc)
 
     def pick(onehot_f, leaf):
-        """Select one [N, ...] pool row by one-hot contraction (exact: a
+        """Select one [N, ...] pool row by one-hot masked sum (exact: a
         single 1.0 coefficient against finite values; integers stay below
-        2^24 so the float round-trip is lossless)."""
+        2^24 so the float round-trip is lossless).  A masked mul+sum, not
+        an einsum: XLA lowers these tiny dots to bf16-operand convolution
+        emitters on TPU, which would round the selected f32 values AND pay
+        layout copies around each dot."""
+        def contract(vals):  # [N, ...] float -> [...]
+            oh = onehot_f.astype(vals.dtype).reshape((vals.shape[0],) + (1,) * (vals.ndim - 1))
+            return jnp.sum(oh * vals, axis=0)
+
         if leaf.dtype == jnp.bool_:
-            return jnp.einsum("n,n...->...", onehot_f, leaf.astype(acc)) > 0.5
+            return contract(leaf.astype(acc)) > 0.5
         if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.einsum("n,n...->...", onehot_f.astype(leaf.dtype), leaf)
+            return contract(leaf)
         if jnp.issubdtype(leaf.dtype, jnp.signedinteger):
-            v = jnp.einsum("n,n...->...", onehot_f, leaf.astype(acc))
-            return jnp.round(v).astype(leaf.dtype)
+            return jnp.round(contract(leaf.astype(acc))).astype(leaf.dtype)
         # uint PRNG keys don't survive a float contraction; the rng is
         # overridden with the live stream below, so any row works.
         return leaf[0]
@@ -190,7 +196,9 @@ def make_autoreset_step(
         # NEW episode's first observation, matching the returned state.
         onehot_f = (jnp.arange(N) == counter % N).astype(acc)
         if packed:
-            fresh_row = onehot_f @ pool_flat
+            # masked sum, not a dot: exact f32 (bf16 dot operands would
+            # round the selected values)
+            fresh_row = jnp.sum(onehot_f[:, None] * pool_flat, axis=0)
             fresh, fresh_obs = _unpack_row(fresh_row, plan, treedef)
         else:
             fresh = jax.tree.map(lambda leaf: pick(onehot_f, leaf), pool_states)

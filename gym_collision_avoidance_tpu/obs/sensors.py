@@ -357,9 +357,15 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     occupied = jnp.arange(C)[None, None, :] < jnp.sum(
         ok, axis=-1, dtype=jnp.int32
     )[:, :, None]                                                # [A, B, C]
-    gi_c = jnp.einsum("abco,o->abc", onehot, gi.astype(jnp.float32))
-    gj_c = jnp.einsum("abco,o->abc", onehot, gj.astype(jnp.float32))
-    rsq_c = jnp.einsum("abco,o->abc", onehot, r_cells_sq.astype(jnp.float32))
+    # masked sums, not einsums: dot_generals this small lower to bf16
+    # convolution emitters on TPU — bf16 would round cell indices >= 257
+    # on large maps and costs layout copies (see other_agents_states).
+    def _compact(vals_f32):  # [A_o] -> [A, B, C]
+        return jnp.sum(onehot * vals_f32[None, None, None, :], axis=-1)
+
+    gi_c = _compact(gi.astype(jnp.float32))
+    gj_c = _compact(gj.astype(jnp.float32))
+    rsq_c = _compact(r_cells_sq.astype(jnp.float32))
     # empty slots get the same far-out sentinel as invalid discs
     gi_c = jnp.where(occupied, gi_c, 40000.0).astype(jnp.int32)
     gj_c = jnp.where(occupied, gj_c, 0.0).astype(jnp.int32)
@@ -462,13 +468,29 @@ def other_agents_states(state, cfg):
     K = cfg.max_num_other_agents_observed
     dtype = state.pos.dtype
 
-    # [A_host, A_other, 2] relative positions.
-    rel = state.pos[None, :, :] - state.pos[:, None, :]
-    dist_centers = maths.norm2(rel)                                   # [A, A]
-    p_par = jnp.einsum("hoc,hc->ho", rel, state.ref_prll)
-    p_orth = jnp.einsum("hoc,hc->ho", rel, state.ref_orth)
-    v_par = jnp.einsum("oc,hc->ho", state.vel, state.ref_prll)
-    v_orth = jnp.einsum("oc,hc->ho", state.vel, state.ref_orth)
+    # [A_host, A_other] relative positions, x/y carried as separate arrays.
+    # These 2-term contractions are written as explicit mul+add instead of
+    # einsum ON PURPOSE: on TPU, XLA lowers tiny dot_generals under vmap to
+    # degenerate convolution emitters with bf16 operands (default matmul
+    # precision) and lane-wasting [..., 2]-minor layouts — a serving-loop
+    # HLO dump showed them costing layout copies on both sides AND silently
+    # rounding f32 inputs through bf16.  Elementwise math is exact f32 and
+    # fuses into plain VPU loops (same fix as the CADRL split-action
+    # vectors, PERF.md).
+    rel_x = state.pos[None, :, 0] - state.pos[:, None, 0]             # [A, A]
+    rel_y = state.pos[None, :, 1] - state.pos[:, None, 1]
+    # same value order as maths.norm2 on the stacked [A, A, 2] array
+    dist_centers = jnp.sqrt(rel_x * rel_x + rel_y * rel_y)            # [A, A]
+    p_par = rel_x * state.ref_prll[:, None, 0] + rel_y * state.ref_prll[:, None, 1]
+    p_orth = rel_x * state.ref_orth[:, None, 0] + rel_y * state.ref_orth[:, None, 1]
+    v_par = (
+        state.vel[None, :, 0] * state.ref_prll[:, None, 0]
+        + state.vel[None, :, 1] * state.ref_prll[:, None, 1]
+    )
+    v_orth = (
+        state.vel[None, :, 0] * state.ref_orth[:, None, 0]
+        + state.vel[None, :, 1] * state.ref_orth[:, None, 1]
+    )
     other_r = jnp.broadcast_to(state.radius[None, :], (A, A))
     combined_r = state.radius[:, None] + state.radius[None, :]
     d2other = dist_centers - combined_r                               # [A, A]
@@ -518,15 +540,24 @@ def other_agents_states(state, cfg):
     # closest_first and time_to_impact re-sort by the same key as the clip
     # sort, which is a no-op on a stable order.
 
-    fields = jnp.stack(
-        [p_par, p_orth, v_par, v_orth, other_r, combined_r, d2other], axis=-1
-    ).astype(dtype)                                                   # [A, A, 7]
-
-    # one-hot contraction: row k of host h = the entry with rank k.
+    # one-hot selection: row k of host h = the entry with rank k.  Done as
+    # a per-field masked sum over the other-agent axis, NOT an einsum: the
+    # [A, K, A] x [A, A, 7] dot_general lowered to a ~250k-cycle
+    # convolution-emitter fusion with bf16 operands (see note above), and
+    # stacking `fields` early forced a 7-lane layout.  Exact: at most one
+    # summand per (h, k) is nonzero, and adding zeros is exact for finite
+    # values.
     slot = jnp.arange(K)
     onehot = (rank[:, None, :] == slot[None, :, None]) & selected[:, None, :]
-    rows = jnp.einsum(
-        "hko,hof->hkf", onehot.astype(dtype), fields
+    onehot_f = onehot.astype(dtype)                                   # [A, K, A]
+
+    def pick_field(f):  # [A, A] -> [A, K]
+        return jnp.sum(onehot_f * f[:, None, :].astype(dtype), axis=-1)
+
+    rows = jnp.stack(
+        [pick_field(f)
+         for f in (p_par, p_orth, v_par, v_orth, other_r, combined_r, d2other)],
+        axis=-1,
     )                                                                 # [A, K, 7]
 
     counts = jnp.minimum(jnp.sum(visible, axis=1), K).astype(jnp.int32)

@@ -528,8 +528,14 @@ def _select_others(h, state, cfg):
         ],
         axis=-1,
     )                                                             # [A, 10]
-    others_s10 = onehot @ fields10                                # [3, 10]
-    past_vel_sel = jnp.einsum("sa,akc->skc", onehot, state.past_vel)
+    # masked sums, not dots: tiny dot_generals lower to bf16-operand
+    # convolution emitters on TPU (rounding real f32 values and paying
+    # layout copies); mul+sum stays exact f32 and fuses on the VPU.  At
+    # most one summand per slot is nonzero, so the sum is exact.
+    others_s10 = jnp.sum(onehot[:, :, None] * fields10[None, :, :], axis=1)
+    past_vel_sel = jnp.sum(
+        onehot[:, :, None, None] * state.past_vel[None, :, :, :], axis=1
+    )
     dt_past = jnp.full((NUM_SLOTS, 2), cfg.dt, dtype)
     others_action = maths.filter_vel(dt_past, past_vel_sel)       # [3, 2]
     return others_s10, others_action, present, num_present
