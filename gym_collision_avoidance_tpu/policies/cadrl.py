@@ -390,7 +390,9 @@ def _passing_side_cost(
         jnp.inf,
     )
     sel = (jnp.arange(NUM_SLOTS) == jnp.argmin(d2o)).astype(dtype)
-    other_next = sel @ others_next                                # [10]
+    # masked sum, not a dot: tiny dot_generals lower to bf16-operand
+    # convolution emitters on TPU (see PERF.md "small contractions")
+    other_next = jnp.sum(sel[:, None] * others_next, axis=0)      # [10]
     # encode vs a single other in slot 0 (others list of length 1, :862-868;
     # the encoder's closest-to-slot-0 reorder is the identity here)
     others_stack = jnp.broadcast_to(other_next, (NUM_SLOTS,) + other_next.shape)
@@ -475,8 +477,9 @@ def _swap_slot0(rows, present, closest):
     # perm[i] = target source slot for output slot i
     perm = jnp.where(slots == 0, closest, jnp.where(slots == closest, 0, slots))
     onehot = (perm[:, None] == slots[None, :]).astype(rows.dtype)  # [3, 3]
-    rows_r = onehot @ rows
-    present_r = (onehot @ present.astype(rows.dtype)) > 0.5
+    # masked sums, not dots (exact f32; bf16 dot operands would round)
+    rows_r = jnp.sum(onehot[:, :, None] * rows[None, :, :], axis=1)
+    present_r = jnp.sum(onehot * present[None, :].astype(rows.dtype), axis=1) > 0.5
     return rows_r, present_r
 
 
@@ -498,7 +501,8 @@ def _select_others(h, state, cfg):
     rel = state.pos - state.pos[h]
     dist_centers = maths.norm2(rel)
     d2other = dist_centers - state.radius[h] - state.radius
-    p_orth = rel @ state.ref_orth[h]
+    # explicit 2-term mul+add, not a dot (PERF.md "small contractions")
+    p_orth = rel[:, 0] * state.ref_orth[h, 0] + rel[:, 1] * state.ref_orth[h, 1]
     cand = (
         (jnp.arange(A) != h) & state.valid & (dist_centers <= cfg.sensing_horizon)
     )
@@ -633,7 +637,8 @@ def _cadrl_prepare(h, state, cfg):
     # one-hot contraction instead of agent_next[first_sel] (gathers
     # scalarize on TPU)
     sel_onehot = (jnp.arange(a_speed.shape[0]) == first_sel).astype(dtype)
-    first_pos = sel_onehot @ agent_next[:, 0:2]                   # [2]
+    # masked sum, not a dot (PERF.md "small contractions")
+    first_pos = jnp.sum(sel_onehot[:, None] * agent_next[:, 0:2], axis=0)  # [2]
     d_reorder = jnp.where(
         present,
         jnp.linalg.norm(others_next[:, 0:2] - first_pos, axis=1),
@@ -685,11 +690,13 @@ def _cadrl_finish(aux, nn_raw):
     values = jnp.where(aux["action_valid"], values, -jnp.inf)
 
     best = jnp.argmax(values)
-    # one-hot contraction instead of a_speed[best] (per-row dynamic gathers
-    # scalarize on TPU); the 1.0/0.0 dot selects the value exactly
+    # one-hot selection instead of a_speed[best] (per-row dynamic gathers
+    # scalarize on TPU), done as a masked sum, not a dot: a [47]x[47] dot
+    # under vmap becomes a tiny bf16-operand contraction on TPU that
+    # rounds the selected f32 action. The 1.0/0.0 mask selects exactly.
     best_onehot = (jnp.arange(a_speed.shape[0]) == best).astype(a_speed.dtype)
-    best_speed = best_onehot @ a_speed
-    best_heading = best_onehot @ a_heading
+    best_speed = jnp.sum(best_onehot * a_speed)
+    best_heading = jnp.sum(best_onehot * a_heading)
 
     # wrapper: heading becomes an offset from the current heading
     # (CADRLPolicy.py:78); with no visible others, head straight to goal at
