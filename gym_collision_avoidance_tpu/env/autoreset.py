@@ -131,9 +131,14 @@ def make_autoreset_step(
             as a recorded negative result.
 
     Returns:
-        step(state, counter) -> (state', counter', obs, rewards, game_over)
+        step(state, counter, external=None) ->
+        (state', counter', obs, rewards, game_over)
         — vmap over envs for a batch (give each env a different starting
         counter, e.g. ``arange(E)``, to decorrelate scenarios).
+        ``external`` is an optional [A, 2] array of external-policy actions
+        (the reference's gym-loop ``step(actions)`` argument,
+        envs/collision_avoidance_env.py:208-218) consumed by EXTERNAL /
+        LEARNING / LEARNING_GA3C / CARRL agents; internal agents ignore it.
     """
     from gym_collision_avoidance_tpu.env.step import env_reset
 
@@ -186,9 +191,10 @@ def make_autoreset_step(
         # overridden with the live stream below, so any row works.
         return leaf[0]
 
-    def step(state: EnvState, counter):
+    def step(state: EnvState, counter, external=None):
         state, obs, rewards, game_over, _info = env_step(
-            state, None, cfg, params, active_policies, sensors, states_in_obs
+            state, external, cfg, params, active_policies, sensors,
+            states_in_obs,
         )
 
         # Standard autoreset contract (cf. DummyVecEnv reset-on-done,

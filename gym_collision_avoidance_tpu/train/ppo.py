@@ -1,0 +1,396 @@
+"""PPO trainer for the LearningPolicy path, entirely on-device.
+
+The reference frames this environment as a gym for *external* RL
+trainers: the agent under training is a ``LearningPolicy`` whose actions
+arrive through the env's step argument
+(envs/collision_avoidance_env.py:208-218, LearningPolicy.py:5-35) while
+scripted traffic (NonCooperative / RVO / GA3C) moves internally.  The
+reference ships no trainer of its own; this module is the TPU-native
+one — PPO (clipped surrogate, Schulman et al. 2017) with GAE(lambda),
+built so that rollout, advantage estimation, and every optimizer epoch
+run inside ONE jitted function per iteration:
+
+* **Rollout** is a ``lax.scan`` over the in-graph autoreset step
+  (:mod:`env.autoreset`), so episodes reset mid-rollout and every
+  timestep advances a live episode — no Python env loop, no host sync.
+* **Advantages** come from a reverse ``lax.scan`` with ``(1 - done)``
+  masking across the autoreset boundaries (the fresh obs returned on a
+  reset step belongs to the NEW episode, so the bootstrap term is cut
+  exactly at the boundary).
+* **Minibatching** shuffles the *env axis* (one gather of env-major rows
+  per epoch, outside the hot step loop) and scans over minibatches; each
+  minibatch is ``mb_envs`` full T-step sequences.  Per-sample shuffling
+  would gather [T*E] scattered rows every epoch — pointlessly
+  gather-heavy on TPU for no statistical win at these batch sizes.
+* **Data parallelism**: pass ``axis_name`` and run the returned
+  ``train_step`` under ``shard_map`` with the env axis sharded; gradients
+  and metrics are ``lax.pmean``-ed per minibatch, so every device applies
+  identical updates (standard DP-PPO; exercised on the virtual mesh in
+  tests/test_ppo.py).
+
+The actor-critic is a plain MLP on the flattened ego observation with
+MXU-friendly hidden widths.  Actions live in the LearningPolicy's
+``[0, 1]^2`` box (speed fraction, heading fraction;
+LearningPolicy.py:31-33): the policy is a diagonal Gaussian with a
+sigmoid-squashed mean, samples clipped to the box, and log-densities
+evaluated at the stored (clipped) action — identical expressions at
+rollout and update time, so the PPO ratio is exactly 1 on the first
+epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_collision_avoidance_tpu.config import EnvConfig
+from gym_collision_avoidance_tpu.env import autoreset
+from gym_collision_avoidance_tpu.env.step import env_reset
+from gym_collision_avoidance_tpu.obs import spec as obs_spec
+from gym_collision_avoidance_tpu.policies import registry as policies
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Static PPO hyperparameters (jit-time constants)."""
+
+    num_envs: int = 256
+    horizon: int = 64              # T steps per rollout
+    num_agents: int = 2
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    epochs: int = 4
+    num_minibatches: int = 4       # along the env axis
+    lr: float = 3e-4
+    value_coef: float = 0.5
+    entropy_coef: float = 1e-3
+    max_grad_norm: float = 0.5
+    hidden: int = 256              # 2x128 lanes; tiles the MXU cleanly
+    # dense progress shaping added to the env reward on the training side
+    # only (same rationale as the REINFORCE example: the env's sparse +1
+    # at the goal leaves a zero-gradient plateau early in training)
+    shaping_coef: float = 0.3
+    traffic_policy: int = policies.NONCOOP
+    seed: int = 0
+
+    @property
+    def mb_envs(self) -> int:
+        assert self.num_envs % self.num_minibatches == 0
+        return self.num_envs // self.num_minibatches
+
+
+def init_actor_critic(rng, obs_dim: int, hidden: int = 256):
+    """He-initialized MLP trunk + small-scale policy/value heads.
+
+    Head weights start at 1e-2 scale so the initial policy is near the
+    sigmoid midpoint with near-constant value — standard PPO practice to
+    keep early ratios tame.
+    """
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    s1 = (2.0 / obs_dim) ** 0.5
+    s2 = (2.0 / hidden) ** 0.5
+    f32 = jnp.float32
+    return {
+        "W1": jax.random.normal(k1, (obs_dim, hidden), f32) * s1,
+        "b1": jnp.zeros((hidden,), f32),
+        "W2": jax.random.normal(k2, (hidden, hidden), f32) * s2,
+        "b2": jnp.zeros((hidden,), f32),
+        # policy head: 2 action means
+        "Wp": jax.random.normal(k3, (hidden, 2), f32) * (s2 * 1e-2),
+        "bp": jnp.zeros((2,), f32),
+        # state-independent log-std, started at exp(-1.2) ~ 0.3 of the
+        # [0, 1] action box
+        "log_std": jnp.full((2,), -1.2, f32),
+        # value head
+        "Wv": jax.random.normal(k4, (hidden, 1), f32) * s2,
+        "bv": jnp.zeros((1,), f32),
+    }
+
+
+def _trunk(p, x):
+    h = jax.nn.relu(x @ p["W1"] + p["b1"])
+    return jax.nn.relu(h @ p["W2"] + p["b2"])
+
+
+def actor_critic(p, x):
+    """(mean in (0,1)^2, log_std [2], value) for flattened ego obs x."""
+    h = _trunk(p, x)
+    mean = jax.nn.sigmoid(h @ p["Wp"] + p["bp"])
+    value = (h @ p["Wv"] + p["bv"])[..., 0]
+    log_std = jnp.clip(p["log_std"], -4.0, 0.0)
+    return mean, log_std, value
+
+
+def _gauss_logp(act, mean, log_std):
+    """Diagonal-Gaussian log density at the stored (clipped) action."""
+    z = (act - mean) * jnp.exp(-log_std)
+    return jnp.sum(-0.5 * z * z - log_std - 0.5 * np.log(2.0 * np.pi), axis=-1)
+
+
+def compute_gae(rewards, values, dones, last_value, gamma, lam):
+    """GAE(lambda) over a [T, E] rollout with autoreset boundaries.
+
+    ``dones[t]`` marks that the transition at t ENDED its episode; the
+    bootstrap value for that transition is cut (the t+1 obs/value belongs
+    to the next episode).  Returns (advantages [T, E], value targets).
+    """
+
+    def scan_fn(carry, x):
+        gae, next_val = carry
+        r, v, d = x
+        nonterm = 1.0 - d
+        delta = r + gamma * next_val * nonterm - v
+        gae = delta + gamma * lam * nonterm * gae
+        return (gae, v), gae
+
+    (_, _), adv = jax.lax.scan(
+        scan_fn,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones.astype(rewards.dtype)),
+        reverse=True,
+    )
+    return adv, adv + values
+
+
+def make_ppo(
+    ppo: PPOConfig,
+    cfg: Optional[EnvConfig] = None,
+    pool=None,
+    axis_name: Optional[str] = None,
+    sensors: Tuple[str, ...] = ("other_agents_states",),
+    states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
+):
+    """Build the jitted PPO iteration.
+
+    Returns ``(train_step, init_fn, obs_dim)`` where
+
+    * ``init_fn(rng) -> (params, opt_state, env_states, counters, obs)``
+    * ``train_step(params, opt_state, env_states, counters, obs, rng) ->
+      (params, opt_state, env_states, counters, obs, metrics)`` — one
+      rollout + ``epochs`` optimization epochs, all inside jit.  Env
+      states AND the pending obs carry over between iterations
+      (continuing autoreset episodes), so every step of every iteration
+      advances a live episode; carrying obs (rather than recomputing it)
+      keeps sensors with internal history (laserscan ring buffer)
+      exact — sensing is a state-mutating pass, not a pure read.
+
+    With ``axis_name`` set, run ``train_step`` under ``shard_map`` with
+    ``env_states``/``counters`` sharded on the env axis and
+    params/opt_state replicated; gradients are ``pmean``-ed before the
+    update, so replicas stay bit-identical.
+    """
+    import optax
+
+    E, T, A = ppo.num_envs, ppo.horizon, ppo.num_agents
+    cfg = cfg or EnvConfig(
+        dtype="float32", done_mode="learning", reward_time_step=-0.01
+    )
+    dtype = jnp.dtype(cfg.dtype)
+
+    if pool is None:
+        from gym_collision_avoidance_tpu.scenarios import random_cases
+
+        pool = jnp.asarray(
+            random_cases.scenario_pool(64, A, seed=ppo.seed, side_length=3.0),
+            dtype,
+        )
+    else:
+        pool = jnp.asarray(pool, dtype)
+
+    policy_id = np.array(
+        [policies.LEARNING] + [ppo.traffic_policy] * (A - 1), np.int32
+    )
+    active = tuple(sorted({policies.LEARNING, int(ppo.traffic_policy)}))
+    astep = autoreset.make_autoreset_step(
+        cfg, pool, policy_id, active_policies=active, sensors=sensors,
+        states_in_obs=states_in_obs,
+    )
+
+    # flattened ego obs width, from one probe reset (host-side, build time)
+    probe = autoreset.state_from_case(cfg, pool[0], policy_id)
+    _, probe_obs = env_reset(probe, cfg, sensors, states_in_obs)
+    obs_dim = int(
+        sum(np.prod(np.asarray(v.shape[1:]), initial=1) for v in probe_obs.values())
+    )
+
+    def flatten_ego(obs):
+        """Batched obs dict -> [E, obs_dim] float32 ego rows (agent 0)."""
+        parts = [v[:, 0].reshape(v.shape[0], -1).astype(jnp.float32)
+                 for v in obs.values()]
+        return jnp.concatenate(parts, axis=-1)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo.max_grad_norm),
+        optax.adam(ppo.lr),
+    )
+
+    def reset_batch():
+        def one(i):
+            st = autoreset.state_from_case(
+                cfg, pool[i % pool.shape[0]], policy_id,
+                rng=jax.random.PRNGKey(ppo.seed + 1),
+            )
+            return env_reset(st, cfg, sensors, states_in_obs)
+
+        return jax.vmap(one)(jnp.arange(E))
+
+    def init_fn(rng):
+        params = init_actor_critic(rng, obs_dim, ppo.hidden)
+        states, obs = reset_batch()
+        return (params, tx.init(params), states,
+                jnp.arange(E, dtype=jnp.int32), obs)
+
+    def rollout(params, states, counters, obs, rng):
+        """T autoreset steps; gradients never flow into the env (visited
+        states are data — same stop_gradient rationale as the REINFORCE
+        example: the env dynamics' VJP is NaN at frozen agents' sqrt(0)
+        corners and is no part of the PPO estimator)."""
+
+        # Per-env global ids key the exploration noise: eps[e] is drawn
+        # from fold_in(key_t, global_id(e)), so the sampled trajectories
+        # are IDENTICAL whether the env batch runs on one device or
+        # sharded across a mesh (shape-keyed normal(key, [E_local, 2])
+        # would give every shard different noise than the unsharded run).
+        if axis_name:
+            ids = jax.lax.axis_index(axis_name) * E + jnp.arange(E)
+        else:
+            ids = jnp.arange(E)
+
+        def step(carry, key):
+            states, counters, obs = carry
+            x = jax.lax.stop_gradient(flatten_ego(obs))
+            mean, log_std, value = actor_critic(params, x)
+            eps = jax.vmap(
+                lambda i: jax.random.normal(
+                    jax.random.fold_in(key, i), (2,), jnp.float32
+                )
+            )(ids)
+            act = jnp.clip(mean + jnp.exp(log_std) * eps, 0.0, 1.0)
+            logp = _gauss_logp(act, mean, log_std)
+            d_prev = states.dist_to_goal[:, 0].astype(jnp.float32)
+            # concat, not .at[].set: scatter updates force layout copies
+            # on TPU (PERF.md)
+            ext = jnp.concatenate(
+                [act.astype(dtype)[:, None, :],
+                 jnp.zeros((E, A - 1, 2), dtype)],
+                axis=1,
+            )
+            states, counters, obs, rew, game_over = jax.vmap(astep)(
+                states, counters, ext
+            )
+            shaped = rew[:, 0].astype(jnp.float32) + ppo.shaping_coef * (
+                d_prev - states.dist_to_goal[:, 0].astype(jnp.float32)
+            ) * (1.0 - game_over.astype(jnp.float32))
+            out = (x, act, logp, value, shaped, game_over,
+                   rew[:, 0].astype(jnp.float32))
+            return (states, counters, obs), out
+
+        keys = jax.random.split(rng, T)
+        (states, counters, obs), (xs, acts, logps, vals, rews, dones, raw_rews) = (
+            jax.lax.scan(step, (states, counters, obs), keys)
+        )
+        _, _, last_value = actor_critic(params, flatten_ego(obs))
+        return states, counters, obs, {
+            "x": xs, "act": acts, "logp": logps, "value": vals,
+            "reward": rews, "done": dones, "raw_reward": raw_rews,
+            "last_value": last_value,
+        }
+
+    def _pmean(v):
+        return jax.lax.pmean(v, axis_name) if axis_name else v
+
+    def loss_fn(params, batch):
+        """Clipped-surrogate PPO loss over one minibatch of [n] samples."""
+        mean, log_std, value = actor_critic(params, batch["x"])
+        logp = _gauss_logp(batch["act"], mean, log_std)
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"]
+        pg = -jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1.0 - ppo.clip_eps, 1.0 + ppo.clip_eps) * adv,
+        )
+        v_err = value - batch["target"]
+        v_loss = 0.5 * jnp.mean(v_err * v_err)
+        # entropy of the unclipped diagonal Gaussian
+        ent = jnp.sum(log_std + 0.5 * np.log(2.0 * np.pi * np.e))
+        loss = jnp.mean(pg) + ppo.value_coef * v_loss - ppo.entropy_coef * ent
+        frac_clipped = jnp.mean(
+            (jnp.abs(ratio - 1.0) > ppo.clip_eps).astype(jnp.float32)
+        )
+        return loss, (v_loss, frac_clipped)
+
+    def train_step(params, opt_state, states, counters, obs, rng):
+        rng_roll, rng_perm = jax.random.split(rng)
+        states, counters, obs, data = rollout(
+            params, states, counters, obs, rng_roll
+        )
+        adv, target = compute_gae(
+            data["reward"], data["value"], data["done"], data["last_value"],
+            ppo.gamma, ppo.gae_lambda,
+        )
+        # env-major [E, T, ...] so minibatches are whole sequences and the
+        # per-epoch shuffle is one contiguous row gather
+        em = {
+            "x": jnp.swapaxes(data["x"], 0, 1),
+            "act": jnp.swapaxes(data["act"], 0, 1),
+            "logp": jnp.swapaxes(data["logp"], 0, 1),
+            "adv": jnp.swapaxes(adv, 0, 1),
+            "target": jnp.swapaxes(target, 0, 1),
+        }
+
+        def run_epoch(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, E)
+
+            def grab(v):  # [E, T, ...] -> [n_mb, mb*T, ...]
+                shuffled = jnp.take(v, perm, axis=0)
+                return shuffled.reshape(
+                    (ppo.num_minibatches, ppo.mb_envs * T) + v.shape[2:]
+                )
+
+            mbs = jax.tree.map(grab, em)
+
+            def run_mb(carry, mb):
+                params, opt_state = carry
+                # per-minibatch advantage normalization (global across
+                # devices so replicas stay in lockstep)
+                a = mb["adv"]
+                mu = _pmean(jnp.mean(a))
+                var = _pmean(jnp.mean((a - mu) ** 2))
+                mb = dict(mb, adv=(a - mu) * jax.lax.rsqrt(var + 1e-8))
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb
+                )
+                grads = jax.tree.map(_pmean, grads)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux[0], aux[1])
+
+            (params, opt_state), stats = jax.lax.scan(run_mb, (params, opt_state), mbs)
+            return (params, opt_state), stats
+
+        epoch_keys = jax.random.split(rng_perm, ppo.epochs)
+        (params, opt_state), stats = jax.lax.scan(
+            run_epoch, (params, opt_state), epoch_keys
+        )
+        dones_f = data["done"].astype(jnp.float32)
+        metrics = {
+            "loss": jnp.mean(stats[0]),
+            "value_loss": jnp.mean(stats[1]),
+            "clip_frac": jnp.mean(stats[2]),
+            "mean_step_reward": _pmean(jnp.mean(data["raw_reward"])),
+            "mean_shaped_reward": _pmean(jnp.mean(data["reward"])),
+            "episodes_finished": _pmean(jnp.sum(dones_f)),
+            # mean raw return of episodes that finished inside this rollout
+            "mean_return_per_episode": _pmean(jnp.sum(data["raw_reward"]))
+            / jnp.maximum(_pmean(jnp.sum(dones_f)), 1.0),
+        }
+        return params, opt_state, states, counters, obs, metrics
+
+    return train_step, init_fn, obs_dim

@@ -171,6 +171,36 @@ def main():
                         "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E2)))})
         print(json.dumps(results[-1]), flush=True)
 
+    if want("ppo_train"):
+        # on-device PPO training throughput: rollout + GAE + 4 epochs of
+        # minibatched updates per iteration, all in one jit.  env-steps/s
+        # counts only ROLLOUT steps (the optimizer epochs are overhead on
+        # top), so this is directly comparable to the serving rows.
+        import jax as _jax
+
+        from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+        ppo = PPOConfig(num_envs=min(E, 2048), horizon=64, num_agents=2)
+        train_step, init_fn, _ = make_ppo(ppo)
+        step = _jax.jit(train_step)
+        rng = _jax.random.PRNGKey(0)
+        carry = list(init_fn(rng))
+        rng, k = _jax.random.split(rng)
+        *carry, m = step(*carry, k)
+        _jax.block_until_ready(carry[0])
+        reps = max(1, S // 64)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rng, k = _jax.random.split(rng)
+            *carry, m = step(*carry, k)
+        _jax.block_until_ready(carry[0])
+        dt = time.perf_counter() - t0
+        rate = ppo.num_envs * ppo.horizon * reps / dt
+        results.append({"config": "ppo_train", "num_envs": ppo.num_envs,
+                        "env_steps_per_sec": round(rate, 1),
+                        "agent_steps_per_sec": round(rate * ppo.num_agents, 1)})
+        print(json.dumps(results[-1]), flush=True)
+
     if want("ga3c20_laser"):
         # laserscan_num_candidate_discs=10: per-beam-block disc culling,
         # bit-identical while wedge candidate counts stay <= 10 — this

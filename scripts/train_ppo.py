@@ -1,0 +1,122 @@
+"""Train a LearningPolicy agent with on-device PPO.
+
+The TPU-native trainer for the workflow the reference serves externally
+(gym loop + LearningPolicy, envs/collision_avoidance_env.py:208-218):
+rollout (in-graph autoreset), GAE, and every optimizer epoch run inside
+ONE jitted function per iteration.  With --devices > 1 the env axis is
+sharded over a device mesh via shard_map (gradients pmean-ed per
+minibatch, replicas bit-identical).
+
+Usage:
+  python scripts/train_ppo.py [--iters 50] [--envs 1024] [--horizon 64]
+                              [--agents 2] [--traffic noncoop|rvo]
+                              [--devices N] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--horizon", type=int, default=64)
+    ap.add_argument("--agents", type=int, default=2)
+    ap.add_argument("--traffic", default="noncoop", choices=["noncoop", "rvo"])
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the env axis over this many devices")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from gym_collision_avoidance_tpu.policies import registry as P
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    traffic = {"noncoop": P.NONCOOP, "rvo": P.RVO}[args.traffic]
+    D = args.devices
+    assert args.envs % max(D, 1) == 0
+
+    ppo = PPOConfig(
+        num_envs=args.envs // max(D, 1), horizon=args.horizon,
+        num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
+    )
+
+    if D > 1:
+        from jax.sharding import Mesh, PartitionSpec as Pspec
+
+        from gym_collision_avoidance_tpu.parallel.distributed import shard_map
+
+        if len(jax.devices()) < D:
+            sys.exit(
+                f"--devices {D} but only {len(jax.devices())} JAX devices "
+                "visible (for a CPU dry run: "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={D})"
+            )
+        mesh = Mesh(np.array(jax.devices()[:D]), ("env",))
+        train_step, init_fn, obs_dim = make_ppo(ppo, axis_name="env")
+
+        # build the GLOBAL initial carry (all envs, decorrelated scenario
+        # counters) with an unsharded config of the full size; shard_map
+        # splits it over the env axis
+        import dataclasses
+
+        _ts_g, init_global, _ = make_ppo(
+            dataclasses.replace(ppo, num_envs=args.envs)
+        )
+
+        env_spec = Pspec("env")
+        rep = Pspec()
+        step = jax.jit(
+            shard_map(
+                train_step, mesh=mesh,
+                in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+                out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+                check_vma=False,
+            )
+        )
+        carry = init_global(jax.random.PRNGKey(ppo.seed))
+    else:
+        train_step, init_fn, obs_dim = make_ppo(ppo)
+        step = jax.jit(train_step)
+        carry = init_fn(jax.random.PRNGKey(ppo.seed))
+
+    print(f"obs_dim={obs_dim} envs={args.envs} horizon={args.horizon} "
+          f"agents={args.agents} traffic={args.traffic} devices={D}")
+
+    rng = jax.random.PRNGKey(ppo.seed + 7)
+    carry = list(carry)
+    t0 = time.time()
+    steps_done = 0
+    for i in range(args.iters):
+        rng, k = jax.random.split(rng)
+        *carry, m = step(*carry, k)
+        steps_done += args.envs * args.horizon
+        if i % max(1, args.iters // 20) == 0 or i == args.iters - 1:
+            dt = time.time() - t0
+            print(
+                f"iter {i:4d}  return/ep {float(m['mean_return_per_episode']):+.3f}"
+                f"  episodes {float(m['episodes_finished']):.0f}"
+                f"  clip {float(m['clip_frac']):.3f}"
+                f"  env-steps/s {steps_done / dt:.3g}",
+                flush=True,
+            )
+    jax.block_until_ready(carry[0])
+    dt = time.time() - t0
+    print(f"total: {steps_done} env-steps in {dt:.1f}s = "
+          f"{steps_done / dt:.3g} env-steps/s (incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""PPO trainer tests: GAE correctness, learning progress, and
+data-parallel (shard_map) equivalence with the single-device run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _numpy_gae(rews, vals, dones, last_val, gamma, lam):
+    T, E = rews.shape
+    adv = np.zeros((T, E), np.float64)
+    gae = np.zeros(E, np.float64)
+    next_val = last_val.astype(np.float64)
+    for t in range(T - 1, -1, -1):
+        nonterm = 1.0 - dones[t]
+        delta = rews[t] + gamma * next_val * nonterm - vals[t]
+        gae = delta + gamma * lam * nonterm * gae
+        adv[t] = gae
+        next_val = vals[t]
+    return adv
+
+
+def test_gae_matches_numpy_reference():
+    from gym_collision_avoidance_tpu.train import compute_gae
+
+    rng = np.random.RandomState(0)
+    T, E = 17, 5
+    rews = rng.randn(T, E).astype(np.float32)
+    vals = rng.randn(T, E).astype(np.float32)
+    dones = (rng.rand(T, E) < 0.2).astype(np.float32)
+    last = rng.randn(E).astype(np.float32)
+    adv, target = compute_gae(
+        jnp.asarray(rews), jnp.asarray(vals), jnp.asarray(dones),
+        jnp.asarray(last), 0.99, 0.95,
+    )
+    ref = _numpy_gae(rews, vals, dones, last, 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(adv), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(target), ref + vals, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ppo_single_agent_learns():
+    """Goal-reaching with dense shaping: per-episode return must climb."""
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    ppo = PPOConfig(num_envs=128, horizon=32, num_agents=1, epochs=4,
+                    num_minibatches=4, lr=1e-3, seed=0)
+    train_step, init_fn, _ = make_ppo(ppo)
+    rng = jax.random.PRNGKey(0)
+    carry = list(init_fn(rng))
+    ts = jax.jit(train_step)
+    rets = []
+    for _ in range(20):
+        rng, k = jax.random.split(rng)
+        *carry, m = ts(*carry, k)
+        rets.append(float(m["mean_return_per_episode"]))
+    rets = np.asarray(rets)
+    assert np.isfinite(rets).all()
+    # measured: -0.2 -> +0.85 in 20 iters; require a robust margin
+    assert rets[-5:].mean() > rets[:5].mean() + 0.3, rets
+
+
+def test_ppo_two_agent_traffic_runs():
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    ppo = PPOConfig(num_envs=16, horizon=8, num_agents=3, epochs=2,
+                    num_minibatches=2, seed=1)
+    train_step, init_fn, _ = make_ppo(ppo)
+    rng = jax.random.PRNGKey(1)
+    carry = list(init_fn(rng))
+    ts = jax.jit(train_step)
+    for _ in range(2):
+        rng, k = jax.random.split(rng)
+        *carry, m = ts(*carry, k)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(carry[0]))
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_ppo_shard_map_matches_single_device():
+    """DP-PPO over 4 shards must reproduce the unsharded update: same
+    rollout (per-env-id keyed noise), pmean-ed advantage stats and grads.
+    Restricted to 1 epoch x 1 minibatch so the minibatch composition is
+    the full batch in both runs (multi-minibatch shuffles differ by
+    construction)."""
+    from jax.sharding import Mesh, PartitionSpec as Pspec
+
+    from gym_collision_avoidance_tpu.parallel.distributed import shard_map
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    D, E_local, T = 4, 8, 6
+    E = D * E_local
+    common = dict(horizon=T, num_agents=2, epochs=1, num_minibatches=1,
+                  lr=1e-3, seed=3)
+
+    # single-device reference
+    ppo1 = PPOConfig(num_envs=E, **common)
+    ts1, init1, _ = make_ppo(ppo1)
+    rng = jax.random.PRNGKey(42)
+    carry1 = init1(jax.random.PRNGKey(3))
+    out1 = jax.jit(ts1)(*carry1, rng)
+
+    # sharded run from the SAME initial carry, env axis split over 4
+    ppoD = PPOConfig(num_envs=E_local, **common)
+    tsD, _initD, _ = make_ppo(ppoD, axis_name="env")
+    mesh = Mesh(np.array(jax.devices()[:D]), ("env",))
+    env_spec, rep = Pspec("env"), Pspec()
+    stepD = jax.jit(
+        shard_map(
+            tsD, mesh=mesh,
+            in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+            out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+            check_vma=False,
+        )
+    )
+    outD = stepD(*carry1, rng)
+
+    # params after the update agree (float-assoc tolerance only)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        ),
+        out1[0], outD[0],
+    )
+    # the carried env states agree exactly (same per-env trajectories)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        ),
+        out1[2], outD[2],
+    )
+    np.testing.assert_array_equal(np.asarray(out1[3]), np.asarray(outD[3]))
