@@ -1,9 +1,12 @@
-"""Env-state checkpoint/resume.
+"""Pytree checkpoint/resume (env states, training carries, params).
 
 The reference has no environment checkpointing at all — only frozen policy
 checkpoints (SURVEY.md §5.4).  Here the whole env (or env-batch) state is a
 pytree, so checkpoint/resume is a structural save/restore; useful for
-long evaluation campaigns and fault recovery.
+long evaluation campaigns and fault recovery.  The functions are generic
+over any pytree with array leaves — the PPO trainer saves its whole
+``(params, opt_state, env_states, counters, obs)`` carry through them for
+bitwise training resume (tests/test_ppo.py).
 """
 
 from __future__ import annotations

@@ -32,6 +32,12 @@ def main():
                     help="shard the env axis over this many devices")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save", default=None, metavar="PATH",
+                    help="save the full training carry here at the end "
+                         "(and every 20 iterations)")
+    ap.add_argument("--resume", default=None, metavar="PATH",
+                    help="resume from a carry saved by --save (bitwise "
+                         "continuation of the interrupted run)")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +101,12 @@ def main():
     print(f"obs_dim={obs_dim} envs={args.envs} horizon={args.horizon} "
           f"agents={args.agents} traffic={args.traffic} devices={D}")
 
+    from gym_collision_avoidance_tpu.utils import checkpoint as ckpt
+
+    if args.resume:
+        carry = ckpt.load_state(args.resume, tuple(carry))
+        print(f"resumed from {args.resume}")
+
     rng = jax.random.PRNGKey(ppo.seed + 7)
     carry = list(carry)
     t0 = time.time()
@@ -103,6 +115,8 @@ def main():
         rng, k = jax.random.split(rng)
         *carry, m = step(*carry, k)
         steps_done += args.envs * args.horizon
+        if args.save and i and i % 20 == 0:
+            ckpt.save_state(args.save, tuple(carry))
         if i % max(1, args.iters // 20) == 0 or i == args.iters - 1:
             dt = time.time() - t0
             print(
@@ -116,6 +130,8 @@ def main():
     dt = time.time() - t0
     print(f"total: {steps_done} env-steps in {dt:.1f}s = "
           f"{steps_done / dt:.3g} env-steps/s (incl. compile)")
+    if args.save:
+        print(f"saved {ckpt.save_state(args.save, tuple(carry))}")
 
 
 if __name__ == "__main__":

@@ -78,6 +78,35 @@ def test_ppo_two_agent_traffic_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_ppo_checkpoint_resume_is_bitwise(tmp_path):
+    """Saving the training carry and resuming must continue the run
+    bitwise (same rng stream -> identical params and env states)."""
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+    from gym_collision_avoidance_tpu.utils import checkpoint as ckpt
+
+    ppo = PPOConfig(num_envs=16, horizon=8, num_agents=2, epochs=2,
+                    num_minibatches=2, seed=5)
+    train_step, init_fn, _ = make_ppo(ppo)
+    ts = jax.jit(train_step)
+
+    def advance(carry, rng, n):
+        for _ in range(n):
+            rng, k = jax.random.split(rng)
+            *carry, _m = ts(*carry, k)
+        return tuple(carry), rng
+
+    carry, rng0 = tuple(init_fn(jax.random.PRNGKey(5))), jax.random.PRNGKey(9)
+    carry2, rng2 = advance(carry, rng0, 2)
+    path = str(tmp_path / "ppo_carry.npz")
+    ckpt.save_state(path, carry2)
+    straight, _ = advance(carry2, rng2, 2)
+    resumed, _ = advance(ckpt.load_state(path, carry2), rng2, 2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        straight, resumed,
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_ppo_shard_map_matches_single_device():
     """DP-PPO over 4 shards must reproduce the unsharded update: same
