@@ -147,7 +147,16 @@ def forward_parts(params, scalars, others, max_seq_len: int | None = None):
 
 
 def _trunk(params, seq_len, host, others):
-    """Shared LSTM + dense trunk: ``others`` is [B, T, 7] normalized."""
+    """Shared LSTM + dense trunk -> (probs, value); see :func:`_trunk_raw`."""
+    logits_p, value = _trunk_raw(params, seq_len, host, others)
+    probs = jax.nn.softmax(logits_p, axis=-1)
+    return probs, value
+
+
+def _trunk_raw(params, seq_len, host, others):
+    """Shared LSTM + dense trunk: ``others`` is [B, T, 7] normalized.
+    Returns raw ``(logits_p [B, 11], value [B])`` (pre-softmax — the
+    numerically safe form for training losses)."""
     B, T = others.shape[0], others.shape[1]
     xn_dtype = others.dtype
 
@@ -174,11 +183,19 @@ def _trunk(params, seq_len, host, others):
     # Derive the zero init from the (possibly sharded) input rather than a
     # fresh constant: under shard_map the carry must share the input's
     # varying-axes type or the scan rejects it (zero cost — XLA folds the
-    # 0-multiply into the zero constant).
-    zero = jnp.zeros((B, HIDDEN), xn_dtype) + 0.0 * others[:, 0, :1].astype(xn_dtype)
+    # 0-multiply into the zero constant).  T == 0 (single-agent training
+    # envs: no other-agent slots at all) short-circuits to the zero state,
+    # matching dynamic_rnn over an empty sequence.
+    zero = (
+        jnp.zeros((B, HIDDEN), xn_dtype)
+        + 0.0 * host[:, :1].astype(xn_dtype)
+    )
     init = (zero, zero)
-    ts = jnp.arange(T)
-    (c, h), _ = jax.lax.scan(scan_body, init, (x_gates.swapaxes(0, 1), ts))
+    if T == 0:
+        c, h = init
+    else:
+        ts = jnp.arange(T)
+        (c, h), _ = jax.lax.scan(scan_body, init, (x_gates.swapaxes(0, 1), ts))
 
     z = jnp.concatenate([host, h], axis=-1)                    # [B, 68]
     z = jax.nn.relu(z @ params["layer1_kernel"] + params["layer1_bias"])
@@ -186,8 +203,75 @@ def _trunk(params, seq_len, host, others):
     z = jax.nn.relu(z @ params["fc1_kernel"] + params["fc1_bias"])
     logits_p = z @ params["logits_p_kernel"] + params["logits_p_bias"]
     value = (z @ params["logits_v_kernel"] + params["logits_v_bias"])[:, 0]
-    probs = jax.nn.softmax(logits_p, axis=-1)
-    return probs, value
+    return logits_p, value
+
+
+def forward_parts_logits(params, scalars, others, max_seq_len: int | None = None):
+    """Structured-input forward returning raw ``(logits_p, value)`` —
+    the training-loss form of :func:`forward_parts` (identical trunk)."""
+    width = params["input_avg"].shape[0]
+    K = others.shape[1]
+    assert 5 + K * 7 == width, (K, width)
+    avg_s = params["input_avg"][:5]
+    std_s = params["input_std"][:5]
+    avg_o = params["input_avg"][5:].reshape(K, 7)
+    std_o = params["input_std"][5:].reshape(K, 7)
+    dtype = params["lstm_kernel"].dtype
+    sn = ((scalars - avg_s) / std_s).astype(dtype)
+    on = ((others - avg_o) / std_o).astype(dtype)
+    T = K if max_seq_len is None else min(K, max_seq_len)
+    seq_len = sn[:, 0].astype(jnp.int32)
+    return _trunk_raw(params, seq_len, sn[:, 1:5], on[:, :T])
+
+
+def init_params(rng, max_other: int, dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Fresh trainable parameters with the exact checkpoint architecture
+    (LSTMCell(64) over [7]-tuples + 3x Dense(256) + 11/1 heads), for
+    training the reference's own GA3C-CADRL net on-device (the reference
+    trained it externally with GA3C; ga3c/GA3C/NetworkVP*.py).
+
+    The input-normalization constants are built from the declarative obs
+    statistics (obs/spec.NORM_STATS — the same semantics the shipped
+    checkpoints bake in), with slot 0 kept at (0, 1): the net reads
+    ``num_other_agents`` raw as the LSTM sequence length.
+    """
+    from gym_collision_avoidance_tpu.obs import spec as obs_spec
+
+    width = 5 + 7 * max_other
+    om, osd = obs_spec.NORM_STATS["other_agents_states"]
+    # vector layout: [num_other, dist_to_goal, heading_ego, pref_speed,
+    # radius, (max_other x 7)]
+    avg = np.concatenate(
+        [np.array([0.0, 0.0, 0.0, 1.0, 0.5]), np.tile(om, max_other)]
+    ).astype(np.float32)
+    std = np.concatenate(
+        [np.array([1.0, 5.0, 3.14, 1.0, 1.0]), np.tile(osd, max_other)]
+    ).astype(np.float32)
+
+    ks = jax.random.split(rng, 6)
+
+    def glorot(key, shape):
+        s = (6.0 / (shape[0] + shape[1])) ** 0.5
+        return jax.random.uniform(key, shape, jnp.float32, -s, s).astype(dtype)
+
+    H4 = 4 * HIDDEN
+    return {
+        "input_avg": jnp.asarray(avg),
+        "input_std": jnp.asarray(std),
+        "lstm_kernel": glorot(ks[0], (7 + HIDDEN, H4)),
+        "lstm_bias": jnp.zeros((H4,), dtype),
+        "layer1_kernel": glorot(ks[1], (4 + HIDDEN, 256)),
+        "layer1_bias": jnp.zeros((256,), dtype),
+        "layer2_kernel": glorot(ks[2], (256, 256)),
+        "layer2_bias": jnp.zeros((256,), dtype),
+        "fc1_kernel": glorot(ks[3], (256, 256)),
+        "fc1_bias": jnp.zeros((256,), dtype),
+        # small-scale heads: near-uniform initial policy, near-zero value
+        "logits_p_kernel": glorot(ks[4], (256, NUM_ACTIONS)) * 1e-2,
+        "logits_p_bias": jnp.zeros((NUM_ACTIONS,), dtype),
+        "logits_v_kernel": glorot(ks[5], (256, 1)) * 1e-2,
+        "logits_v_bias": jnp.zeros((1,), dtype),
+    }
 
 
 def crop_to_width(x, width: int):

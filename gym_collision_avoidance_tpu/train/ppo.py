@@ -77,6 +77,14 @@ class PPOConfig:
     # at the goal leaves a zero-gradient plateau early in training)
     shaping_coef: float = 0.3
     traffic_policy: int = policies.NONCOOP
+    # "mlp": continuous Gaussian MLP through the LearningPolicy [0, 1]^2
+    #   action box (LearningPolicy.py:31-33).
+    # "ga3c": the reference's own GA3C-CADRL architecture (LSTM over
+    #   other-agent tuples + 3x Dense(256), 11 discrete actions through
+    #   the LearningPolicyGA3C table) trained from scratch — the
+    #   reference trained this net externally with GA3C
+    #   (ga3c/GA3C/NetworkVP_rnn.py); here it trains on-device.
+    policy_arch: str = "mlp"
     seed: int = 0
 
     @property
@@ -203,10 +211,14 @@ def make_ppo(
     else:
         pool = jnp.asarray(pool, dtype)
 
-    policy_id = np.array(
-        [policies.LEARNING] + [ppo.traffic_policy] * (A - 1), np.int32
+    learner_pid = (
+        policies.LEARNING_GA3C if ppo.policy_arch == "ga3c"
+        else policies.LEARNING
     )
-    active = tuple(sorted({policies.LEARNING, int(ppo.traffic_policy)}))
+    policy_id = np.array(
+        [learner_pid] + [ppo.traffic_policy] * (A - 1), np.int32
+    )
+    active = tuple(sorted({int(learner_pid), int(ppo.traffic_policy)}))
     astep = autoreset.make_autoreset_step(
         cfg, pool, policy_id, active_policies=active, sensors=sensors,
         states_in_obs=states_in_obs,
@@ -215,15 +227,102 @@ def make_ppo(
     # flattened ego obs width, from one probe reset (host-side, build time)
     probe = autoreset.state_from_case(cfg, pool[0], policy_id)
     _, probe_obs = env_reset(probe, cfg, sensors, states_in_obs)
+
+    if ppo.policy_arch == "ga3c":
+        # the GA3C net consumes the policy-obs layout: every obs key
+        # except STATES_NOT_USED_IN_POLICY, in STATES_IN_OBS order
+        # (GA3CCADRLPolicy.py:68-74) — [num_other, dist_to_goal,
+        # heading_ego, pref_speed, radius, K x 7 other tuples]
+        ego_keys = tuple(
+            k for k in states_in_obs
+            if k not in obs_spec.DEFAULT_STATES_NOT_USED_IN_POLICY
+        )
+    else:
+        ego_keys = tuple(states_in_obs)
     obs_dim = int(
-        sum(np.prod(np.asarray(v.shape[1:]), initial=1) for v in probe_obs.values())
+        sum(np.prod(np.asarray(probe_obs[k].shape[1:]), initial=1)
+            for k in ego_keys)
     )
 
     def flatten_ego(obs):
         """Batched obs dict -> [E, obs_dim] float32 ego rows (agent 0)."""
-        parts = [v[:, 0].reshape(v.shape[0], -1).astype(jnp.float32)
-                 for v in obs.values()]
+        parts = [obs[k][:, 0].reshape(obs[k].shape[0], -1).astype(jnp.float32)
+                 for k in ego_keys]
         return jnp.concatenate(parts, axis=-1)
+
+    # --- policy family: net init/apply + distribution ops -------------
+    if ppo.policy_arch == "ga3c":
+        from gym_collision_avoidance_tpu.models import ga3c_cadrl
+
+        K_other = (obs_dim - 5) // 7
+        assert 5 + 7 * K_other == obs_dim, (obs_dim, K_other)
+        n_act = ga3c_cadrl.NUM_ACTIONS
+
+        def net_init(rng):
+            return ga3c_cadrl.init_params(rng, K_other)
+
+        def net_apply(params, x):
+            logits, value = ga3c_cadrl.forward_parts_logits(
+                params, x[:, :5], x[:, 5:].reshape(x.shape[0], K_other, 7),
+                max_seq_len=A - 1,
+            )
+            return (logits,), value
+
+        def dist_sample(out, key, ids):
+            (logits,) = out
+            idx = jax.vmap(
+                lambda i, lg: jax.random.categorical(
+                    jax.random.fold_in(key, i), lg
+                )
+            )(ids, logits)
+            return idx[:, None].astype(jnp.float32)             # [E, 1]
+
+        def dist_logp(out, act):
+            (logits,) = out
+            ls = jax.nn.log_softmax(logits, axis=-1)
+            onehot = (
+                jnp.arange(n_act)[None, :]
+                == act[:, 0].astype(jnp.int32)[:, None]
+            ).astype(ls.dtype)
+            # masked sum, not a gather/dot (PERF.md "small contractions")
+            return jnp.sum(onehot * ls, axis=-1)
+
+        def dist_entropy(out):
+            (logits,) = out
+            ls = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.sum(jnp.exp(ls) * ls, axis=-1))
+
+        def to_ext(act):  # [E, 1] action index -> [E, 2] external row
+            return jnp.concatenate([act, jnp.zeros_like(act)], axis=-1)
+
+    else:
+
+        def net_init(rng):
+            return init_actor_critic(rng, obs_dim, ppo.hidden)
+
+        def net_apply(params, x):
+            mean, log_std, value = actor_critic(params, x)
+            return (mean, log_std), value
+
+        def dist_sample(out, key, ids):
+            mean, log_std = out
+            eps = jax.vmap(
+                lambda i: jax.random.normal(
+                    jax.random.fold_in(key, i), (2,), jnp.float32
+                )
+            )(ids)
+            return jnp.clip(mean + jnp.exp(log_std) * eps, 0.0, 1.0)
+
+        def dist_logp(out, act):
+            mean, log_std = out
+            return _gauss_logp(act, mean, log_std)
+
+        def dist_entropy(out):
+            _mean, log_std = out
+            return jnp.sum(log_std + 0.5 * np.log(2.0 * np.pi * np.e))
+
+        def to_ext(act):
+            return act
 
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
@@ -241,7 +340,7 @@ def make_ppo(
         return jax.vmap(one)(jnp.arange(E))
 
     def init_fn(rng):
-        params = init_actor_critic(rng, obs_dim, ppo.hidden)
+        params = net_init(rng)
         states, obs = reset_batch()
         return (params, tx.init(params), states,
                 jnp.arange(E, dtype=jnp.int32), obs)
@@ -265,19 +364,14 @@ def make_ppo(
         def step(carry, key):
             states, counters, obs = carry
             x = jax.lax.stop_gradient(flatten_ego(obs))
-            mean, log_std, value = actor_critic(params, x)
-            eps = jax.vmap(
-                lambda i: jax.random.normal(
-                    jax.random.fold_in(key, i), (2,), jnp.float32
-                )
-            )(ids)
-            act = jnp.clip(mean + jnp.exp(log_std) * eps, 0.0, 1.0)
-            logp = _gauss_logp(act, mean, log_std)
+            out, value = net_apply(params, x)
+            act = dist_sample(out, key, ids)
+            logp = dist_logp(out, act)
             d_prev = states.dist_to_goal[:, 0].astype(jnp.float32)
             # concat, not .at[].set: scatter updates force layout copies
             # on TPU (PERF.md)
             ext = jnp.concatenate(
-                [act.astype(dtype)[:, None, :],
+                [to_ext(act).astype(dtype)[:, None, :],
                  jnp.zeros((E, A - 1, 2), dtype)],
                 axis=1,
             )
@@ -295,7 +389,7 @@ def make_ppo(
         (states, counters, obs), (xs, acts, logps, vals, rews, dones, raw_rews) = (
             jax.lax.scan(step, (states, counters, obs), keys)
         )
-        _, _, last_value = actor_critic(params, flatten_ego(obs))
+        _, last_value = net_apply(params, flatten_ego(obs))
         return states, counters, obs, {
             "x": xs, "act": acts, "logp": logps, "value": vals,
             "reward": rews, "done": dones, "raw_reward": raw_rews,
@@ -307,8 +401,8 @@ def make_ppo(
 
     def loss_fn(params, batch):
         """Clipped-surrogate PPO loss over one minibatch of [n] samples."""
-        mean, log_std, value = actor_critic(params, batch["x"])
-        logp = _gauss_logp(batch["act"], mean, log_std)
+        out, value = net_apply(params, batch["x"])
+        logp = dist_logp(out, batch["act"])
         ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
         pg = -jnp.minimum(
@@ -317,8 +411,7 @@ def make_ppo(
         )
         v_err = value - batch["target"]
         v_loss = 0.5 * jnp.mean(v_err * v_err)
-        # entropy of the unclipped diagonal Gaussian
-        ent = jnp.sum(log_std + 0.5 * np.log(2.0 * np.pi * np.e))
+        ent = dist_entropy(out)
         loss = jnp.mean(pg) + ppo.value_coef * v_loss - ppo.entropy_coef * ent
         frac_clipped = jnp.mean(
             (jnp.abs(ratio - 1.0) > ppo.clip_eps).astype(jnp.float32)

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--horizon", type=int, default=64)
     ap.add_argument("--agents", type=int, default=2)
     ap.add_argument("--traffic", default="noncoop", choices=["noncoop", "rvo"])
+    ap.add_argument("--arch", default="mlp", choices=["mlp", "ga3c"],
+                    help="mlp: Gaussian MLP on the [0,1]^2 action box; "
+                         "ga3c: the reference's GA3C-CADRL LSTM net with "
+                         "its 11 discrete actions, trained from scratch")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env axis over this many devices")
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -57,6 +61,7 @@ def main():
     ppo = PPOConfig(
         num_envs=args.envs // max(D, 1), horizon=args.horizon,
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
+        policy_arch=args.arch,
     )
 
     if D > 1:

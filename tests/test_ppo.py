@@ -78,6 +78,30 @@ def test_ppo_two_agent_traffic_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_ppo_ga3c_arch_learns():
+    """PPO over the reference's own GA3C-CADRL architecture (LSTM net,
+    11 discrete actions via the LearningPolicyGA3C table) must learn
+    goal-reaching from scratch on-device."""
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    ppo = PPOConfig(num_envs=128, horizon=32, num_agents=1, epochs=4,
+                    num_minibatches=4, lr=1e-3, policy_arch="ga3c", seed=0)
+    train_step, init_fn, obs_dim = make_ppo(ppo)
+    assert obs_dim == 5 + 7 * 3  # policy-obs layout, K=3 default
+    rng = jax.random.PRNGKey(0)
+    carry = list(init_fn(rng))
+    ts = jax.jit(train_step)
+    rets = []
+    for _ in range(15):
+        rng, k = jax.random.split(rng)
+        *carry, m = ts(*carry, k)
+        rets.append(float(m["mean_return_per_episode"]))
+    rets = np.asarray(rets)
+    assert np.isfinite(rets).all()
+    # measured: +0.03 (first5) -> +0.89 (last5 of 25); 15 iters with margin
+    assert rets[-5:].mean() > rets[:5].mean() + 0.25, rets
+
+
 def test_ppo_checkpoint_resume_is_bitwise(tmp_path):
     """Saving the training carry and resuming must continue the run
     bitwise (same rng stream -> identical params and env states)."""
