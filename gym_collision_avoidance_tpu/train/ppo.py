@@ -19,7 +19,8 @@ run inside ONE jitted function per iteration:
   exactly at the boundary).
 * **Minibatching** shuffles the *env axis* (one gather of env-major rows
   per epoch, outside the hot step loop) and scans over minibatches; each
-  minibatch is ``mb_envs`` full T-step sequences.  Per-sample shuffling
+  minibatch is ``mb_envs`` full T-step sample streams (one per
+  env x learner agent).  Per-sample shuffling
   would gather [T*E] scattered rows every epoch — pointlessly
   gather-heavy on TPU for no statistical win at these batch sizes.
 * **Data parallelism**: pass ``axis_name`` and run the returned
@@ -85,12 +86,23 @@ class PPOConfig:
     #   reference trained this net externally with GA3C
     #   (ga3c/GA3C/NetworkVP_rnn.py); here it trains on-device.
     policy_arch: str = "mlp"
+    # False: agent 0 learns against scripted traffic_policy agents.
+    # True: EVERY agent runs (and trains) the same shared net — the
+    #   parameter-shared self-play regime the GA3C-CADRL papers trained
+    #   in (decentralized execution, shared weights).  Done agents freeze
+    #   mid-episode (done_mode="learning" waits for all of them); their
+    #   frozen samples carry zero loss weight.
+    self_play: bool = False
     seed: int = 0
 
     @property
     def mb_envs(self) -> int:
-        assert self.num_envs % self.num_minibatches == 0
-        return self.num_envs // self.num_minibatches
+        """Learner sample streams per minibatch (env x learner-agent)."""
+        num_streams = self.num_envs * (
+            self.num_agents if self.self_play else 1
+        )
+        assert num_streams % self.num_minibatches == 0
+        return num_streams // self.num_minibatches
 
 
 def init_actor_critic(rng, obs_dim: int, hidden: int = 256):
@@ -215,10 +227,17 @@ def make_ppo(
         policies.LEARNING_GA3C if ppo.policy_arch == "ga3c"
         else policies.LEARNING
     )
-    policy_id = np.array(
-        [learner_pid] + [ppo.traffic_policy] * (A - 1), np.int32
-    )
-    active = tuple(sorted({int(learner_pid), int(ppo.traffic_policy)}))
+    # L learner agents per env; B learner sample streams per step
+    L = A if ppo.self_play else 1
+    B = E * L
+    if ppo.self_play:
+        policy_id = np.full(A, learner_pid, np.int32)
+        active = (int(learner_pid),)
+    else:
+        policy_id = np.array(
+            [learner_pid] + [ppo.traffic_policy] * (A - 1), np.int32
+        )
+        active = tuple(sorted({int(learner_pid), int(ppo.traffic_policy)}))
     astep = autoreset.make_autoreset_step(
         cfg, pool, policy_id, active_policies=active, sensors=sensors,
         states_in_obs=states_in_obs,
@@ -245,9 +264,12 @@ def make_ppo(
     )
 
     def flatten_ego(obs):
-        """Batched obs dict -> [E, obs_dim] float32 ego rows (agent 0)."""
-        parts = [obs[k][:, 0].reshape(obs[k].shape[0], -1).astype(jnp.float32)
-                 for k in ego_keys]
+        """Batched obs dict -> [B, obs_dim] float32 learner rows
+        (agents 0..L-1 of every env, env-major)."""
+        parts = [
+            obs[k][:, :L].reshape(B, -1).astype(jnp.float32)
+            for k in ego_keys
+        ]
         return jnp.concatenate(parts, axis=-1)
 
     # --- policy family: net init/apply + distribution ops -------------
@@ -290,7 +312,7 @@ def make_ppo(
         def dist_entropy(out):
             (logits,) = out
             ls = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(jnp.sum(jnp.exp(ls) * ls, axis=-1))
+            return -jnp.sum(jnp.exp(ls) * ls, axis=-1)          # [B]
 
         def to_ext(act):  # [E, 1] action index -> [E, 2] external row
             return jnp.concatenate([act, jnp.zeros_like(act)], axis=-1)
@@ -318,8 +340,9 @@ def make_ppo(
             return _gauss_logp(act, mean, log_std)
 
         def dist_entropy(out):
-            _mean, log_std = out
-            return jnp.sum(log_std + 0.5 * np.log(2.0 * np.pi * np.e))
+            mean, log_std = out
+            ent = jnp.sum(log_std + 0.5 * np.log(2.0 * np.pi * np.e))
+            return jnp.broadcast_to(ent, mean.shape[:1])        # [B]
 
         def to_ext(act):
             return act
@@ -357,42 +380,54 @@ def make_ppo(
         # sharded across a mesh (shape-keyed normal(key, [E_local, 2])
         # would give every shard different noise than the unsharded run).
         if axis_name:
-            ids = jax.lax.axis_index(axis_name) * E + jnp.arange(E)
+            env_ids = jax.lax.axis_index(axis_name) * E + jnp.arange(E)
         else:
-            ids = jnp.arange(E)
+            env_ids = jnp.arange(E)
+        # one id per learner sample stream, stable across sharding
+        ids = (env_ids[:, None] * L + jnp.arange(L)[None, :]).reshape(B)
 
         def step(carry, key):
             states, counters, obs = carry
-            x = jax.lax.stop_gradient(flatten_ego(obs))
+            x = jax.lax.stop_gradient(flatten_ego(obs))                # [B, D]
+            # learners already done (frozen by the env) contribute zero
+            # loss weight; their "actions" are ignored by the env anyway
+            alive = (~states.is_done[:, :L]).reshape(B).astype(jnp.float32)
             out, value = net_apply(params, x)
             act = dist_sample(out, key, ids)
             logp = dist_logp(out, act)
-            d_prev = states.dist_to_goal[:, 0].astype(jnp.float32)
+            d_prev = states.dist_to_goal[:, :L].astype(jnp.float32)    # [E, L]
             # concat, not .at[].set: scatter updates force layout copies
             # on TPU (PERF.md)
             ext = jnp.concatenate(
-                [to_ext(act).astype(dtype)[:, None, :],
-                 jnp.zeros((E, A - 1, 2), dtype)],
+                [to_ext(act).astype(dtype).reshape(E, L, 2),
+                 jnp.zeros((E, A - L, 2), dtype)],
                 axis=1,
             )
             states, counters, obs, rew, game_over = jax.vmap(astep)(
                 states, counters, ext
             )
-            shaped = rew[:, 0].astype(jnp.float32) + ppo.shaping_coef * (
-                d_prev - states.dist_to_goal[:, 0].astype(jnp.float32)
-            ) * (1.0 - game_over.astype(jnp.float32))
-            out = (x, act, logp, value, shaped, game_over,
-                   rew[:, 0].astype(jnp.float32))
+            go_f = game_over.astype(jnp.float32)[:, None]              # [E, 1]
+            raw = rew[:, :L].astype(jnp.float32)                       # [E, L]
+            shaped = raw + ppo.shaping_coef * (
+                d_prev - states.dist_to_goal[:, :L].astype(jnp.float32)
+            ) * (1.0 - go_f)
+            # per-sample done: the env reset, or this learner's episode
+            # latched done (value bootstrap is cut either way)
+            done = (game_over[:, None] | states.is_done[:, :L]).reshape(B)
+            out = (x, act, logp, value, shaped.reshape(B), done, alive,
+                   raw.reshape(B), game_over)
             return (states, counters, obs), out
 
         keys = jax.random.split(rng, T)
-        (states, counters, obs), (xs, acts, logps, vals, rews, dones, raw_rews) = (
-            jax.lax.scan(step, (states, counters, obs), keys)
+        (states, counters, obs), out = jax.lax.scan(
+            step, (states, counters, obs), keys
         )
+        xs, acts, logps, vals, rews, dones, alive, raw_rews, game_over = out
         _, last_value = net_apply(params, flatten_ego(obs))
         return states, counters, obs, {
             "x": xs, "act": acts, "logp": logps, "value": vals,
-            "reward": rews, "done": dones, "raw_reward": raw_rews,
+            "reward": rews, "done": dones, "alive": alive,
+            "raw_reward": raw_rews, "game_over": game_over,
             "last_value": last_value,
         }
 
@@ -400,7 +435,8 @@ def make_ppo(
         return jax.lax.pmean(v, axis_name) if axis_name else v
 
     def loss_fn(params, batch):
-        """Clipped-surrogate PPO loss over one minibatch of [n] samples."""
+        """Clipped-surrogate PPO loss over one minibatch of [n] samples.
+        ``alive`` weights mask frozen (already-done) learner samples."""
         out, value = net_apply(params, batch["x"])
         logp = dist_logp(out, batch["act"])
         ratio = jnp.exp(logp - batch["logp"])
@@ -409,12 +445,19 @@ def make_ppo(
             ratio * adv,
             jnp.clip(ratio, 1.0 - ppo.clip_eps, 1.0 + ppo.clip_eps) * adv,
         )
+        w = batch["alive"]
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
         v_err = value - batch["target"]
-        v_loss = 0.5 * jnp.mean(v_err * v_err)
-        ent = dist_entropy(out)
-        loss = jnp.mean(pg) + ppo.value_coef * v_loss - ppo.entropy_coef * ent
-        frac_clipped = jnp.mean(
-            (jnp.abs(ratio - 1.0) > ppo.clip_eps).astype(jnp.float32)
+        v_loss = 0.5 * jnp.sum(v_err * v_err * w) / wsum
+        ent = jnp.sum(dist_entropy(out) * w) / wsum
+        loss = (
+            jnp.sum(pg * w) / wsum
+            + ppo.value_coef * v_loss
+            - ppo.entropy_coef * ent
+        )
+        frac_clipped = (
+            jnp.sum((jnp.abs(ratio - 1.0) > ppo.clip_eps).astype(jnp.float32) * w)
+            / wsum
         )
         return loss, (v_loss, frac_clipped)
 
@@ -435,27 +478,31 @@ def make_ppo(
             "logp": jnp.swapaxes(data["logp"], 0, 1),
             "adv": jnp.swapaxes(adv, 0, 1),
             "target": jnp.swapaxes(target, 0, 1),
+            "alive": jnp.swapaxes(data["alive"], 0, 1),
         }
 
         def run_epoch(carry, key):
             params, opt_state = carry
-            perm = jax.random.permutation(key, E)
+            perm = jax.random.permutation(key, B)
 
-            def grab(v):  # [E, T, ...] -> [n_mb, mb*T, ...]
+            def grab(v):  # [B, T, ...] -> [n_mb, (B/n_mb)*T, ...]
                 shuffled = jnp.take(v, perm, axis=0)
                 return shuffled.reshape(
-                    (ppo.num_minibatches, ppo.mb_envs * T) + v.shape[2:]
+                    (ppo.num_minibatches, (B // ppo.num_minibatches) * T)
+                    + v.shape[2:]
                 )
 
             mbs = jax.tree.map(grab, em)
 
             def run_mb(carry, mb):
                 params, opt_state = carry
-                # per-minibatch advantage normalization (global across
-                # devices so replicas stay in lockstep)
-                a = mb["adv"]
-                mu = _pmean(jnp.mean(a))
-                var = _pmean(jnp.mean((a - mu) ** 2))
+                # per-minibatch advantage normalization: alive-weighted
+                # (frozen samples must not drag the stats) and global
+                # across devices so replicas stay in lockstep
+                a, w = mb["adv"], mb["alive"]
+                wsum = jnp.maximum(_pmean(jnp.sum(w)), 1.0)
+                mu = _pmean(jnp.sum(a * w)) / wsum
+                var = _pmean(jnp.sum(w * (a - mu) ** 2)) / wsum
                 mb = dict(mb, adv=(a - mu) * jax.lax.rsqrt(var + 1e-8))
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb
@@ -472,17 +519,20 @@ def make_ppo(
         (params, opt_state), stats = jax.lax.scan(
             run_epoch, (params, opt_state), epoch_keys
         )
-        dones_f = data["done"].astype(jnp.float32)
+        go_f = data["game_over"].astype(jnp.float32)            # [T, E]
+        live_raw = data["raw_reward"] * data["alive"]           # [T, B]
         metrics = {
             "loss": jnp.mean(stats[0]),
             "value_loss": jnp.mean(stats[1]),
             "clip_frac": jnp.mean(stats[2]),
-            "mean_step_reward": _pmean(jnp.mean(data["raw_reward"])),
-            "mean_shaped_reward": _pmean(jnp.mean(data["reward"])),
-            "episodes_finished": _pmean(jnp.sum(dones_f)),
-            # mean raw return of episodes that finished inside this rollout
-            "mean_return_per_episode": _pmean(jnp.sum(data["raw_reward"]))
-            / jnp.maximum(_pmean(jnp.sum(dones_f)), 1.0),
+            "mean_step_reward": _pmean(jnp.mean(live_raw)),
+            "mean_shaped_reward": _pmean(jnp.mean(data["reward"] * data["alive"])),
+            "episodes_finished": _pmean(jnp.sum(go_f)),
+            # mean raw return per (learner, episode) among episodes that
+            # finished inside this rollout (every env reset ends L
+            # learner episodes)
+            "mean_return_per_episode": _pmean(jnp.sum(live_raw))
+            / jnp.maximum(_pmean(jnp.sum(go_f)) * L, 1.0),
         }
         return params, opt_state, states, counters, obs, metrics
 

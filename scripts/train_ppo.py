@@ -32,6 +32,10 @@ def main():
                     help="mlp: Gaussian MLP on the [0,1]^2 action box; "
                          "ga3c: the reference's GA3C-CADRL LSTM net with "
                          "its 11 discrete actions, trained from scratch")
+    ap.add_argument("--self-play", action="store_true",
+                    help="every agent runs (and trains) the shared net — "
+                         "the parameter-shared self-play regime of the "
+                         "GA3C-CADRL papers; --traffic is then unused")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env axis over this many devices")
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -42,6 +46,12 @@ def main():
     ap.add_argument("--resume", default=None, metavar="PATH",
                     help="resume from a carry saved by --save (bitwise "
                          "continuation of the interrupted run)")
+    ap.add_argument("--export-params", default=None, metavar="PATH",
+                    help="(--arch ga3c) write the trained net as an .npz "
+                         "checkpoint loadable by models.ga3c_cadrl."
+                         "load_params — i.e. usable anywhere the frozen "
+                         "GA3C-CADRL checkpoints are (policy zoo, "
+                         "harness campaigns, serving benches)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +71,7 @@ def main():
     ppo = PPOConfig(
         num_envs=args.envs // max(D, 1), horizon=args.horizon,
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
-        policy_arch=args.arch,
+        policy_arch=args.arch, self_play=args.self_play,
     )
 
     if D > 1:
@@ -137,6 +147,12 @@ def main():
           f"{steps_done / dt:.3g} env-steps/s (incl. compile)")
     if args.save:
         print(f"saved {ckpt.save_state(args.save, tuple(carry))}")
+    if args.export_params:
+        if args.arch != "ga3c":
+            sys.exit("--export-params requires --arch ga3c")
+        np.savez(args.export_params,
+                 **{k: np.asarray(v) for k, v in carry[0].items()})
+        print(f"exported {args.export_params}")
 
 
 if __name__ == "__main__":
