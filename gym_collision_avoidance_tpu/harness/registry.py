@@ -85,8 +85,10 @@ def load_params(*param_keys: str) -> dict:
             from gym_collision_avoidance_tpu.models import ga3c_cadrl
 
             name = key.split(":", 1)[1] if ":" in key else "iros18"
+            # a known checkpoint name, or a filesystem path (e.g. a net
+            # trained on-device by scripts/train_ppo.py --export-params)
             params["ga3c_cadrl"] = ga3c_cadrl.load_params(
-                ga3c_cadrl.CHECKPOINTS[name]
+                ga3c_cadrl.CHECKPOINTS.get(name, name)
             )
         elif key == "cadrl" or key.startswith("cadrl:"):
             from gym_collision_avoidance_tpu.models import cadrl
@@ -96,6 +98,35 @@ def load_params(*param_keys: str) -> dict:
         else:
             raise KeyError(f"unknown param set {key}")
     return params
+
+
+def register_trained_policy(
+    name: str,
+    ckpt_path: str,
+    agent_sorting_method: str = "closest_last",
+    max_num_other_agents_observed: Optional[int] = None,
+) -> None:
+    """Register an on-device-trained GA3C-architecture checkpoint (from
+    ``scripts/train_ppo.py --export-params``) as a named policy, so it
+    plugs into every harness entry point (`run_full_test_suite`,
+    visualization, benches) exactly like the shipped frozen checkpoints.
+
+    The sensor slot count defaults to the net's own input width
+    (``K = (width - 5) / 7``) so the observation matches what the net
+    trained on.
+    """
+    if max_num_other_agents_observed is None:
+        import numpy as np
+
+        with np.load(ckpt_path) as z:
+            width = int(z["input_avg"].shape[0])
+        max_num_other_agents_observed = (width - 5) // 7
+    POLICY_SPECS[name] = PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method=agent_sorting_method,
+        max_num_other_agents_observed=max_num_other_agents_observed,
+        needs_params=(f"ga3c_cadrl:{ckpt_path}",),
+    )
 
 
 def cfg_for_policy(name: str, base_cfg: EnvConfig) -> EnvConfig:

@@ -171,6 +171,22 @@ def test_trained_ga3c_params_deploy_in_frozen_policy_path(tmp_path):
     # the net must actually drive motion (not frozen at spawn)
     assert float(jnp.max(jnp.abs(states.pos - state.pos[None]))) > 1e-3
 
+    # ... and register as a NAMED policy usable by the evaluation harness
+    from gym_collision_avoidance_tpu.harness import experiments
+    from gym_collision_avoidance_tpu.harness import registry as hreg
+
+    hreg.register_trained_policy("ppo-selfplay-test", path)
+    try:
+        res = experiments.run_full_test_suite(
+            policies_to_test=("ppo-selfplay-test",),
+            num_agents_to_test=(2,), num_test_cases=4,
+        )
+        df = res[(2, "ppo-selfplay-test")]
+        assert len(df) == 4
+        assert np.isfinite(np.stack(df["total_reward"].to_list())).all()
+    finally:
+        hreg.POLICY_SPECS.pop("ppo-selfplay-test", None)
+
 
 def test_ppo_checkpoint_resume_is_bitwise(tmp_path):
     """Saving the training carry and resuming must continue the run
