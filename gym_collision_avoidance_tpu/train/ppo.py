@@ -29,20 +29,20 @@ run inside ONE jitted function per iteration:
   identical updates (standard DP-PPO; exercised on the virtual mesh in
   tests/test_ppo.py).
 
-The actor-critic is a plain MLP on the flattened ego observation with
-MXU-friendly hidden widths.  Actions live in the LearningPolicy's
-``[0, 1]^2`` box (speed fraction, heading fraction;
-LearningPolicy.py:31-33): the policy is a diagonal Gaussian with a
-sigmoid-squashed mean, samples clipped to the box, and log-densities
-evaluated at the stored (clipped) action — identical expressions at
-rollout and update time, so the PPO ratio is exactly 1 on the first
-epoch.
+Two policy families (``PPOConfig.policy_arch``): a plain MLP actor-critic
+emitting a diagonal Gaussian over the LearningPolicy's ``[0, 1]^2`` box
+(speed fraction, heading fraction; LearningPolicy.py:31-33 — samples
+clipped to the box, log-densities evaluated at the stored clipped action,
+identically at rollout and update time so the first-epoch ratio is
+exactly 1), and the reference's own GA3C-CADRL LSTM architecture with a
+categorical over its 11 discrete actions (LearningPolicyGA3C table).
+``PPOConfig.self_play`` trains every agent on the shared net
+(alive-masked losses for mid-episode frozen agents).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -297,7 +297,7 @@ def make_ppo(
                     jax.random.fold_in(key, i), lg
                 )
             )(ids, logits)
-            return idx[:, None].astype(jnp.float32)             # [E, 1]
+            return idx[:, None].astype(jnp.float32)             # [B, 1]
 
         def dist_logp(out, act):
             (logits,) = out
@@ -314,7 +314,7 @@ def make_ppo(
             ls = jax.nn.log_softmax(logits, axis=-1)
             return -jnp.sum(jnp.exp(ls) * ls, axis=-1)          # [B]
 
-        def to_ext(act):  # [E, 1] action index -> [E, 2] external row
+        def to_ext(act):  # [B, 1] action index -> [B, 2] external row
             return jnp.concatenate([act, jnp.zeros_like(act)], axis=-1)
 
     else:
