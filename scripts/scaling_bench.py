@@ -115,6 +115,58 @@ def main(argv=None):
                                           if strong else best)})
         print(json.dumps(strong[-1]))
 
+    # DP-PPO pass: the FULL training iteration (autoreset rollout + GAE +
+    # minibatched optimizer epochs, train/ppo.py) at fixed total work over
+    # growing mesh sizes — measures the end-to-end data-parallel training
+    # overhead (per-minibatch grad pmean + replicated update), not just
+    # the rollout.  Rates are rollout env-steps/s (optimizer epochs count
+    # as overhead), comparable to the serving rows in PERF.md.
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as PS
+
+    from gym_collision_avoidance_tpu.parallel.distributed import shard_map
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    T_ppo = 16
+    ppo_g = PPOConfig(num_envs=E_fixed, horizon=T_ppo,
+                      num_agents=args.num_agents, epochs=2,
+                      num_minibatches=2)
+    _tg, init_g, _ = make_ppo(ppo_g)
+    carry0 = init_g(jax.random.PRNGKey(0))
+    ppo_tbl = []
+    for n in sizes:
+        if n == 1:
+            tstep, _i, _ = make_ppo(ppo_g)
+            step = jax.jit(tstep)
+        else:
+            ppo_l = dataclasses.replace(ppo_g, num_envs=E_fixed // n)
+            tstep, _i, _ = make_ppo(ppo_l, axis_name="env")
+            mesh = dist.global_mesh(devices=all_devices[:n])
+            env_spec, rep = PS("env"), PS()
+            step = jax.jit(shard_map(
+                tstep, mesh=mesh,
+                in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+                out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+                check_vma=False,
+            ))
+        carry = list(carry0)
+        rngk = jax.random.PRNGKey(1)
+        *carry, _m = step(*carry, rngk)  # compile + warmup
+        jax.block_until_ready(carry[0])
+        best = 0.0
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            *carry, _m = step(*carry, rngk)
+            jax.block_until_ready(carry[0])
+            dtime = time.perf_counter() - t0
+            best = max(best, E_fixed * T_ppo / dtime)
+        ppo_tbl.append({"devices": n, "envs": E_fixed,
+                        "train_env_steps_per_s": best,
+                        "vs_1dev": best / (ppo_tbl[0]["train_env_steps_per_s"]
+                                           if ppo_tbl else best)})
+        print(json.dumps(ppo_tbl[-1]))
+
     if args.out:
         lines = [
             "# Weak-scaling measurement (shard_map rollout)",
@@ -156,6 +208,23 @@ def main(argv=None):
             lines.append(
                 f"| {r['devices']} | {r['envs']} | "
                 f"{r['agent_steps_per_s']:.3e} | {r['vs_1dev']:.2f} |"
+            )
+        lines += [
+            "",
+            "## DP-PPO training step (fixed total work)",
+            "",
+            f"The full PPO iteration (rollout T={T_ppo} + GAE + 2 epochs "
+            "x 2 minibatches, train/ppo.py) on the same fixed "
+            f"{E_fixed}-env batch, sharded via shard_map with per-"
+            "minibatch gradient pmean.  Same reading rules as above.",
+            "",
+            "| devices | envs | train env-steps/s | vs 1 device |",
+            "|---:|---:|---:|---:|",
+        ]
+        for r in ppo_tbl:
+            lines.append(
+                f"| {r['devices']} | {r['envs']} | "
+                f"{r['train_env_steps_per_s']:.3e} | {r['vs_1dev']:.2f} |"
             )
         lines.append("")
         with open(args.out, "w") as f:

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env axis over this many devices")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--pool-cases", type=int, default=256,
+                    help="scenario pool size for in-graph autoreset")
+    ap.add_argument("--pool-side", type=float, default=4.0,
+                    help="scenario side length (4.0 matches the frozen "
+                         "500-case evaluation suites' distribution)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save", default=None, metavar="PATH",
                     help="save the full training carry here at the end "
@@ -68,6 +73,12 @@ def main():
     D = args.devices
     assert args.envs % max(D, 1) == 0
 
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    pool = random_cases.scenario_pool(
+        args.pool_cases, args.agents, seed=0, side_length=args.pool_side
+    )
+
     ppo = PPOConfig(
         num_envs=args.envs // max(D, 1), horizon=args.horizon,
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
@@ -86,7 +97,7 @@ def main():
                 f"XLA_FLAGS=--xla_force_host_platform_device_count={D})"
             )
         mesh = Mesh(np.array(jax.devices()[:D]), ("env",))
-        train_step, init_fn, obs_dim = make_ppo(ppo, axis_name="env")
+        train_step, init_fn, obs_dim = make_ppo(ppo, pool=pool, axis_name="env")
 
         # build the GLOBAL initial carry (all envs, decorrelated scenario
         # counters) with an unsharded config of the full size; shard_map
@@ -94,7 +105,7 @@ def main():
         import dataclasses
 
         _ts_g, init_global, _ = make_ppo(
-            dataclasses.replace(ppo, num_envs=args.envs)
+            dataclasses.replace(ppo, num_envs=args.envs), pool=pool
         )
 
         env_spec = Pspec("env")
@@ -109,7 +120,7 @@ def main():
         )
         carry = init_global(jax.random.PRNGKey(ppo.seed))
     else:
-        train_step, init_fn, obs_dim = make_ppo(ppo)
+        train_step, init_fn, obs_dim = make_ppo(ppo, pool=pool)
         step = jax.jit(train_step)
         carry = init_fn(jax.random.PRNGKey(ppo.seed))
 
