@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env axis over this many devices")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--shaping", type=float, default=0.3,
+                    help="training-side progress-shaping coefficient; "
+                         "high values out-reward the env's -0.25 collision "
+                         "penalty and teach reckless goal-rushing at "
+                         "density (measured in RESULTS.md) — lower it "
+                         "when collision rate matters")
     ap.add_argument("--pool-cases", type=int, default=256,
                     help="scenario pool size for in-graph autoreset")
     ap.add_argument("--pool-side", type=float, default=4.0,
@@ -83,6 +89,7 @@ def main():
         num_envs=args.envs // max(D, 1), horizon=args.horizon,
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
         policy_arch=args.arch, self_play=args.self_play,
+        shaping_coef=args.shaping,
     )
 
     if D > 1:
