@@ -64,6 +64,16 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
             ("cadrl_mode", "rotate_constr"),
         ),
     ),
+    # not a reference checkpoint: trained from scratch by this repo's
+    # on-device PPO trainer (RESULTS.md "On-device-trained policies"),
+    # shipped as the reproducibility artifact for that table's run C.
+    # K=3 other-agent slots (the net's input width), like its training.
+    "PPO-selfplay-2agent": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_last",
+        max_num_other_agents_observed=3,
+        needs_params=("ga3c_cadrl:ppo_selfplay_2agent",),
+    ),
     "RVO": PolicySpec(policy_id=policies.RVO),
     "noncoop": PolicySpec(policy_id=policies.NONCOOP),
     "static": PolicySpec(policy_id=policies.STATIC),

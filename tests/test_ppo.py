@@ -188,6 +188,23 @@ def test_trained_ga3c_params_deploy_in_frozen_policy_path(tmp_path):
         hreg.POLICY_SPECS.pop("ppo-selfplay-test", None)
 
 
+def test_shipped_ppo_selfplay_checkpoint_aces_2agent_cases():
+    """The shipped on-device-trained checkpoint (RESULTS.md run C: 100%
+    success on the full 2-agent suite) must reproduce on a subset."""
+    from gym_collision_avoidance_tpu.harness import experiments
+
+    res = experiments.run_full_test_suite(
+        policies_to_test=("PPO-selfplay-2agent",),
+        num_agents_to_test=(2,), num_test_cases=25,
+    )
+    df = res[(2, "PPO-selfplay-2agent")]
+    assert len(df) == 25
+    success = np.array([bool(np.all(a)) for a in df["all_at_goal"]])
+    collision = np.array([bool(np.any(c)) for c in df["collision"]])
+    assert success.all(), success
+    assert not collision.any(), collision
+
+
 def test_ppo_checkpoint_resume_is_bitwise(tmp_path):
     """Saving the training carry and resuming must continue the run
     bitwise (same rng stream -> identical params and env states)."""
