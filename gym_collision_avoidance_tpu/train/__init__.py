@@ -12,4 +12,5 @@ from gym_collision_avoidance_tpu.train.ppo import (  # noqa: F401
     compute_gae,
     init_actor_critic,
     make_ppo,
+    make_sharded_ppo,
 )

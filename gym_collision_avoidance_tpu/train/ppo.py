@@ -537,3 +537,48 @@ def make_ppo(
         return params, opt_state, states, counters, obs, metrics
 
     return train_step, init_fn, obs_dim
+
+
+def make_sharded_ppo(
+    ppo: PPOConfig,
+    mesh,
+    cfg: Optional[EnvConfig] = None,
+    pool=None,
+    **kwargs,
+):
+    """DP-PPO over a device mesh: one call that wires the shard_map.
+
+    ``ppo.num_envs`` is the GLOBAL env count; it is split evenly over
+    ``mesh``'s (single) axis.  Returns ``(train_step, init_fn, obs_dim)``
+    with the same signatures as :func:`make_ppo` — ``init_fn`` builds the
+    global carry (decorrelated scenario counters across all envs) and
+    ``train_step`` is jitted ``shard_map`` with params/opt replicated,
+    env leaves sharded, per-minibatch gradient/advantage-stat pmean.
+    Used by scripts/train_ppo.py, scripts/scaling_bench.py, and the
+    driver dryrun; equivalence with the unsharded update is asserted in
+    tests/test_ppo.py.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    from gym_collision_avoidance_tpu.parallel.distributed import shard_map
+
+    (axis_name,) = mesh.axis_names
+    D = int(np.prod(mesh.devices.shape))
+    if ppo.num_envs % D:
+        raise ValueError(f"num_envs {ppo.num_envs} not divisible by the "
+                         f"{D}-device mesh")
+    local = dataclasses.replace(ppo, num_envs=ppo.num_envs // D)
+    tstep, _init_l, obs_dim = make_ppo(
+        local, cfg=cfg, pool=pool, axis_name=axis_name, **kwargs
+    )
+    _tg, init_fn, _ = make_ppo(ppo, cfg=cfg, pool=pool, **kwargs)
+    env_spec, rep = PS(axis_name), PS()
+    train_step = jax.jit(
+        shard_map(
+            tstep, mesh=mesh,
+            in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+            out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
+            check_vma=False,
+        )
+    )
+    return train_step, init_fn, obs_dim

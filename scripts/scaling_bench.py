@@ -121,12 +121,9 @@ def main(argv=None):
     # overhead (per-minibatch grad pmean + replicated update), not just
     # the rollout.  Rates are rollout env-steps/s (optimizer epochs count
     # as overhead), comparable to the serving rows in PERF.md.
-    import dataclasses
-
-    from jax.sharding import PartitionSpec as PS
-
-    from gym_collision_avoidance_tpu.parallel.distributed import shard_map
-    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+    from gym_collision_avoidance_tpu.train import (
+        PPOConfig, make_ppo, make_sharded_ppo,
+    )
 
     T_ppo = 16
     ppo_g = PPOConfig(num_envs=E_fixed, horizon=T_ppo,
@@ -140,16 +137,8 @@ def main(argv=None):
             tstep, _i, _ = make_ppo(ppo_g)
             step = jax.jit(tstep)
         else:
-            ppo_l = dataclasses.replace(ppo_g, num_envs=E_fixed // n)
-            tstep, _i, _ = make_ppo(ppo_l, axis_name="env")
             mesh = dist.global_mesh(devices=all_devices[:n])
-            env_spec, rep = PS("env"), PS()
-            step = jax.jit(shard_map(
-                tstep, mesh=mesh,
-                in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
-                out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
-                check_vma=False,
-            ))
+            step, _i, _ = make_sharded_ppo(ppo_g, mesh)
         carry = list(carry0)
         rngk = jax.random.PRNGKey(1)
         *carry, _m = step(*carry, rngk)  # compile + warmup

@@ -86,16 +86,16 @@ def main():
     )
 
     ppo = PPOConfig(
-        num_envs=args.envs // max(D, 1), horizon=args.horizon,
+        num_envs=args.envs, horizon=args.horizon,
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
         policy_arch=args.arch, self_play=args.self_play,
         shaping_coef=args.shaping,
     )
 
     if D > 1:
-        from jax.sharding import Mesh, PartitionSpec as Pspec
+        from jax.sharding import Mesh
 
-        from gym_collision_avoidance_tpu.parallel.distributed import shard_map
+        from gym_collision_avoidance_tpu.train import make_sharded_ppo
 
         if len(jax.devices()) < D:
             sys.exit(
@@ -104,28 +104,8 @@ def main():
                 f"XLA_FLAGS=--xla_force_host_platform_device_count={D})"
             )
         mesh = Mesh(np.array(jax.devices()[:D]), ("env",))
-        train_step, init_fn, obs_dim = make_ppo(ppo, pool=pool, axis_name="env")
-
-        # build the GLOBAL initial carry (all envs, decorrelated scenario
-        # counters) with an unsharded config of the full size; shard_map
-        # splits it over the env axis
-        import dataclasses
-
-        _ts_g, init_global, _ = make_ppo(
-            dataclasses.replace(ppo, num_envs=args.envs), pool=pool
-        )
-
-        env_spec = Pspec("env")
-        rep = Pspec()
-        step = jax.jit(
-            shard_map(
-                train_step, mesh=mesh,
-                in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
-                out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
-                check_vma=False,
-            )
-        )
-        carry = init_global(jax.random.PRNGKey(ppo.seed))
+        step, init_fn, obs_dim = make_sharded_ppo(ppo, mesh, pool=pool)
+        carry = init_fn(jax.random.PRNGKey(ppo.seed))
     else:
         train_step, init_fn, obs_dim = make_ppo(ppo, pool=pool)
         step = jax.jit(train_step)

@@ -241,10 +241,11 @@ def test_ppo_shard_map_matches_single_device():
     Restricted to 1 epoch x 1 minibatch so the minibatch composition is
     the full batch in both runs (multi-minibatch shuffles differ by
     construction)."""
-    from jax.sharding import Mesh, PartitionSpec as Pspec
+    from jax.sharding import Mesh
 
-    from gym_collision_avoidance_tpu.parallel.distributed import shard_map
-    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+    from gym_collision_avoidance_tpu.train import (
+        PPOConfig, make_ppo, make_sharded_ppo,
+    )
 
     D, E_local, T = 4, 8, 6
     E = D * E_local
@@ -259,18 +260,8 @@ def test_ppo_shard_map_matches_single_device():
     out1 = jax.jit(ts1)(*carry1, rng)
 
     # sharded run from the SAME initial carry, env axis split over 4
-    ppoD = PPOConfig(num_envs=E_local, **common)
-    tsD, _initD, _ = make_ppo(ppoD, axis_name="env")
     mesh = Mesh(np.array(jax.devices()[:D]), ("env",))
-    env_spec, rep = Pspec("env"), Pspec()
-    stepD = jax.jit(
-        shard_map(
-            tsD, mesh=mesh,
-            in_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
-            out_specs=(rep, rep, env_spec, env_spec, env_spec, rep),
-            check_vma=False,
-        )
-    )
+    stepD, _initD, _ = make_sharded_ppo(ppo1, mesh)
     outD = stepD(*carry1, rng)
 
     # params after the update agree (float-assoc tolerance only)
