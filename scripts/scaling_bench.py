@@ -53,7 +53,6 @@ def main(argv=None):
     else:
         import jax
 
-    import numpy as np
     from gym_collision_avoidance_tpu import EnvConfig
     from gym_collision_avoidance_tpu.env.step import env_reset
     from gym_collision_avoidance_tpu.parallel import distributed as dist

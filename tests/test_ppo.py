@@ -135,7 +135,6 @@ def test_trained_ga3c_params_deploy_in_frozen_policy_path(tmp_path):
     from gym_collision_avoidance_tpu.env.batch import batched_env_step
     from gym_collision_avoidance_tpu.env.step import env_reset
     from gym_collision_avoidance_tpu.models import ga3c_cadrl
-    from gym_collision_avoidance_tpu.policies import registry as P
     from gym_collision_avoidance_tpu.scenarios import presets
     from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
 
