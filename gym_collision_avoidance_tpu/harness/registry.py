@@ -67,10 +67,12 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
     # not a reference checkpoint: trained from scratch by this repo's
     # on-device PPO trainer (RESULTS.md "On-device-trained policies"),
     # shipped as the reproducibility artifact for that table's run C.
-    # K=3 other-agent slots (the net's input width), like its training.
+    # K=3 other-agent slots and closest_first sorting, matching its
+    # training env (at 2 agents there is one visible other, so the order
+    # convention cannot matter there — but keep it consistent).
     "PPO-selfplay-2agent": PolicySpec(
         policy_id=policies.GA3C_CADRL,
-        agent_sorting_method="closest_last",
+        agent_sorting_method="closest_first",
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_2agent",),
     ),
@@ -113,7 +115,7 @@ def load_params(*param_keys: str) -> dict:
 def register_trained_policy(
     name: str,
     ckpt_path: str,
-    agent_sorting_method: str = "closest_last",
+    agent_sorting_method: str = "closest_first",
     max_num_other_agents_observed: Optional[int] = None,
 ) -> None:
     """Register an on-device-trained GA3C-architecture checkpoint (from
@@ -123,7 +125,13 @@ def register_trained_policy(
 
     The sensor slot count defaults to the net's own input width
     (``K = (width - 5) / 7``) so the observation matches what the net
-    trained on.
+    trained on.  ``agent_sorting_method`` MUST match the training-time
+    env config — the default here is the trainer's default
+    (closest_first, EnvConfig's default; note the reference's shipped
+    GA3C nets use closest_last instead).  This is not a nicety: a
+    curriculum-trained 4-agent net measured 4.6% suite success when
+    evaluated under the mismatched order and 40.2% under its own
+    (RESULTS.md).
     """
     if max_num_other_agents_observed is None:
         import numpy as np
