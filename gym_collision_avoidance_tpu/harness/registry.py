@@ -76,6 +76,15 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_2agent",),
     ),
+    # curriculum continuation of the net above (2-agent -> two 4-agent
+    # self-play stages): 99.0/96.0/95.8% success at 2/3/4 agents on the
+    # frozen suites — above RVO on every tier (RESULTS.md run F)
+    "PPO-selfplay-4agent": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_first",
+        max_num_other_agents_observed=3,
+        needs_params=("ga3c_cadrl:ppo_selfplay_4agent_curr",),
+    ),
     "RVO": PolicySpec(policy_id=policies.RVO),
     "noncoop": PolicySpec(policy_id=policies.NONCOOP),
     "static": PolicySpec(policy_id=policies.STATIC),

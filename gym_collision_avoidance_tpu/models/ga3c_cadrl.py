@@ -50,6 +50,13 @@ CHECKPOINTS = {
     # --agents 2 --shaping 0.1, 600 iters).  100.0% success / 0 collisions
     # on the full 2-agent 500-case frozen suite (RESULTS.md).
     "ppo_selfplay_2agent": os.path.join(_WEIGHTS_DIR, "ppo_selfplay_2agent.npz"),
+    # Curriculum continuation of the net above: two further 600-iter
+    # stages of 4-agent self-play (29.5M total env-steps, ~2.5 h of CPU).
+    # 99.0 / 96.0 / 95.8 %% success at 2/3/4 agents on the full frozen
+    # suites — above RVO on every tier (RESULTS.md run F).  Sorting
+    # convention: closest_first (the trainer's env default).
+    "ppo_selfplay_4agent_curr": os.path.join(
+        _WEIGHTS_DIR, "ppo_selfplay_4agent_curr.npz"),
 }
 
 _WEIGHTS_PATH = CHECKPOINTS["iros18"]

@@ -204,6 +204,21 @@ def test_shipped_ppo_selfplay_checkpoint_aces_2agent_cases():
     assert not collision.any(), collision
 
 
+def test_shipped_curriculum_checkpoint_beats_rvo_tier_at_4_agents():
+    """The shipped curriculum net (RESULTS.md run F: 95.8% at 4 agents)
+    must stay way above chance on a 4-agent suite subset."""
+    from gym_collision_avoidance_tpu.harness import experiments
+
+    res = experiments.run_full_test_suite(
+        policies_to_test=("PPO-selfplay-4agent",),
+        num_agents_to_test=(4,), num_test_cases=50,
+    )
+    df = res[(4, "PPO-selfplay-4agent")]
+    success = np.array([bool(np.all(a)) for a in df["all_at_goal"]])
+    # full-suite rate is 95.8%; allow sampling margin on 50 cases
+    assert success.mean() >= 0.85, success.mean()
+
+
 def test_ppo_checkpoint_resume_is_bitwise(tmp_path):
     """Saving the training carry and resuming must continue the run
     bitwise (same rng stream -> identical params and env states)."""
