@@ -85,6 +85,14 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_4agent_curr",),
     ),
+    # final curriculum stage (RESULTS.md run G): above RVO at every
+    # suite density (2-10 agents), ~matches the frozen nets at 2-5
+    "PPO-selfplay-6agent": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_first",
+        max_num_other_agents_observed=3,
+        needs_params=("ga3c_cadrl:ppo_selfplay_6agent_curr",),
+    ),
     "RVO": PolicySpec(policy_id=policies.RVO),
     "noncoop": PolicySpec(policy_id=policies.NONCOOP),
     "static": PolicySpec(policy_id=policies.STATIC),

@@ -57,6 +57,13 @@ CHECKPOINTS = {
     # convention: closest_first (the trainer's env default).
     "ppo_selfplay_4agent_curr": os.path.join(
         _WEIGHTS_DIR, "ppo_selfplay_4agent_curr.npz"),
+    # Final curriculum stage (2ag -> 4ag x2 -> 6ag; ~3.5 h of CPU total):
+    # 99.4/98.4/98.8/98.6/96.6/96.8/94.2 %% success at 2..10 agents —
+    # above RVO at EVERY density and within ~2 points of the IROS18
+    # 10-agent net at 10 agents, despite seeing only K=3 others
+    # (RESULTS.md run G).  closest_first sorting.
+    "ppo_selfplay_6agent_curr": os.path.join(
+        _WEIGHTS_DIR, "ppo_selfplay_6agent_curr.npz"),
 }
 
 _WEIGHTS_PATH = CHECKPOINTS["iros18"]
