@@ -93,6 +93,15 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_6agent_curr",),
     ),
+    # flagship 5-stage curriculum net (RESULTS.md run H): above RVO at
+    # every suite density, above the IROS18 checkpoint at 4 agents, and
+    # within ~1 point of it everywhere else
+    "PPO-selfplay-10agent": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_first",
+        max_num_other_agents_observed=3,
+        needs_params=("ga3c_cadrl:ppo_selfplay_10agent_curr",),
+    ),
     "RVO": PolicySpec(policy_id=policies.RVO),
     "noncoop": PolicySpec(policy_id=policies.NONCOOP),
     "static": PolicySpec(policy_id=policies.STATIC),

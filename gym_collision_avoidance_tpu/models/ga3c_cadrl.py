@@ -64,6 +64,15 @@ CHECKPOINTS = {
     # (RESULTS.md run G).  closest_first sorting.
     "ppo_selfplay_6agent_curr": os.path.join(
         _WEIGHTS_DIR, "ppo_selfplay_6agent_curr.npz"),
+    # Flagship: 5-stage curriculum (2ag -> 4ag x2 -> 6ag -> 10ag; ~4.5 h
+    # of CPU total, ~41M env-steps).  98.8/99.6/99.8/98.8/98.0/96.8/95.8
+    # %% success at 2/3/4/5/6/8/10 agents — ABOVE the IROS18 10-agent
+    # checkpoint at 4 agents (99.8 vs 99.2), within ~1 point of it
+    # everywhere else (incl. 95.8 vs 96.0 at its own 10-agent density),
+    # and above RVO at every tier, with only K=3 visible others
+    # (RESULTS.md run H).  closest_first sorting.
+    "ppo_selfplay_10agent_curr": os.path.join(
+        _WEIGHTS_DIR, "ppo_selfplay_10agent_curr.npz"),
 }
 
 _WEIGHTS_PATH = CHECKPOINTS["iros18"]

@@ -220,18 +220,18 @@ def test_shipped_curriculum_checkpoint_beats_rvo_tier_at_4_agents():
 
 
 def test_shipped_final_curriculum_checkpoint_high_density():
-    """The final curriculum net (RESULTS.md run G: 96.8% at 8 agents)
-    must reproduce its high-density quality on a suite subset."""
+    """The flagship curriculum net (RESULTS.md run H: 95.8% at 10
+    agents) must reproduce its high-density quality on a suite subset."""
     from gym_collision_avoidance_tpu.harness import experiments
 
     res = experiments.run_full_test_suite(
-        policies_to_test=("PPO-selfplay-6agent",),
-        num_agents_to_test=(8,), num_test_cases=50,
+        policies_to_test=("PPO-selfplay-10agent",),
+        num_agents_to_test=(10,), num_test_cases=50,
     )
-    df = res[(8, "PPO-selfplay-6agent")]
+    df = res[(10, "PPO-selfplay-10agent")]
     success = np.array([bool(np.all(a)) for a in df["all_at_goal"]])
-    # full-suite rate is 96.8%; allow sampling margin on 50 cases
-    assert success.mean() >= 0.88, success.mean()
+    # full-suite rate is 95.8%; allow sampling margin on 50 cases
+    assert success.mean() >= 0.86, success.mean()
 
 
 def test_ppo_checkpoint_resume_is_bitwise(tmp_path):
