@@ -74,6 +74,21 @@ class EnvConfig:
     # obs.sensors.laserscan_wedge_candidate_counts before trusting a C for
     # a new scenario family (the 20-agent benchmark scenario peaks at 8).
     laserscan_num_candidate_discs: int | None = None
+    # Optional windowed first-two-hits evaluation for the sparse laserscan:
+    # instead of testing every (disc, range-sample, beam) triple, each
+    # disc/static-cell is tested only on a W-sample window starting just
+    # before its analytic entry range along each beam.  The reference's
+    # cumsum==1 scan rule depends only on the FIRST TWO hit indices per
+    # beam, and both provably lie inside a window that covers the
+    # quantization band around the disc boundary (half-width sqrt(2)
+    # cells, from the per-coordinate floor error bound) plus one
+    # guaranteed-interior sample.  None = evaluate the full range axis.
+    # Identical to the full path as long as no (ego, disc, beam) needs a
+    # span larger than W — check with obs.sensors.laserscan_window_span
+    # before trusting a W for a new scenario family (radius-0.3 m agents
+    # on a 0.1 m grid need at most 12; the 20-agent benchmark scenario
+    # measures 11).
+    laserscan_entry_window: int | None = None
 
     # --- CADRL value-net social norm (CADRLPolicy.py:22-23) ---
     # "none" for the default no_constr net; "right"/"left" activate the

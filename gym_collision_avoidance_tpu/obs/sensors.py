@@ -26,6 +26,26 @@ LASER_RANGE_RESOLUTION = 0.1
 LASER_MAX_RANGE = 6.0
 LASER_MIN_ANGLE = -jnp.pi / 2
 LASER_MAX_ANGLE = jnp.pi / 2
+# Number of range samples: len(np.arange(0, max_range, resolution)).
+LASER_NUM_RANGE_SAMPLES = len(
+    np.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION)
+)
+
+
+def _range_samples(dtype):
+    """The range-sample table, computed as ``k * resolution`` in ``dtype``.
+
+    In float64 this is bitwise-identical to the reference's
+    ``np.arange(0, 6, 0.1)`` (numpy fills arange as ``start + i*step``), so
+    golden parity is untouched.  The product form matters because the
+    windowed path (:func:`laserscan_sparse` with
+    ``cfg.laserscan_entry_window``) must recompute individual samples at
+    dynamic indices without a gather — ``convert(k) * resolution`` in-fusion
+    is only consistent with the table if the table itself is built the same
+    way (in float32 the two forms differ by 1 ulp at 17 of the 60 entries).
+    """
+    k = jnp.arange(LASER_NUM_RANGE_SAMPLES).astype(dtype)
+    return k * jnp.asarray(LASER_RANGE_RESOLUTION, dtype)
 
 
 def _ego_rows(x, ego_idx):
@@ -58,7 +78,7 @@ def laserscan(state, cfg, dynamic_map, ego_idx=None):
     dtype = state.pos.dtype
     H, W = dynamic_map.shape
     angles0 = jnp.linspace(LASER_MIN_ANGLE, LASER_MAX_ANGLE, L).astype(dtype)
-    rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
+    rsamples = _range_samples(dtype)
     R = rsamples.shape[0]
 
     pos_e = _ego_rows(state.pos, ego_idx)
@@ -161,6 +181,215 @@ def _wedge_screen(state, cfg, pos_e, heading_e, ego_global, num_blocks):
     return jnp.moveaxis(ok, -1, 1), not_self                   # [A_ego, B, A_o]
 
 
+# Conservative half-width (in cells) of the band around a source boundary
+# where the cell-quantized hit predicate can disagree with the continuous
+# one: |floor(a) - floor(b) - (a - b)| < 1 per coordinate bounds the
+# quantized-vs-continuous center distance error by sqrt(2) cells; 0.05
+# covers float rounding between the analytic band and the per-sample
+# arithmetic.
+_WINDOW_CELL_SLACK = float(np.sqrt(2.0)) + 0.05
+
+
+def _two_smallest_distinct(acc, val):
+    """Variadic-reduce combiner: each operand pair carries the two smallest
+    DISTINCT values of its subset (second = sentinel when fewer than two
+    distinct exist, with sentinel > all real values).  Associative and
+    commutative: the result depends only on the union's distinct-value
+    set."""
+    a1, a2 = acc
+    b1, b2 = val
+    m1 = jnp.minimum(a1, b1)
+    ca = jnp.where(a1 > m1, a1, a2)
+    cb = jnp.where(b1 > m1, b1, b2)
+    return m1, jnp.minimum(ca, cb)
+
+
+def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
+                             gi_d, gj_d, rsq_d, cx_d, cy_d,
+                             cfg, H, W_map, Wn, dtype):
+    """Laserscan ranges [A, Lb] via per-source entry windows.
+
+    The reference's cumsum==1 rule (LaserScanSensor.py:63-82) depends only
+    on the first two hit indices k1/k2 along each beam.  For every
+    (ego, source, beam) this evaluates the EXACT cell-quantized hit
+    predicate — identical arithmetic to :func:`laserscan_sparse`'s full
+    pass — but only on a ``Wn``-sample window starting one sample before
+    the source's analytic entry range (center ``cx/cy`` world meters,
+    boundary band inflated by :data:`_WINDOW_CELL_SLACK` cells).  Every
+    hit a source can produce before its first guaranteed-interior sample
+    lies in that band, so k1 and k2 are recovered exactly while the range
+    axis shrinks from R=60 samples to ``Wn``.  Bit-identical to the full
+    pass iff no (ego, source, beam) needs a span wider than ``Wn`` —
+    validate with :func:`laserscan_window_span`.
+
+    Sources are discs (``rsq_d`` = radius in cells, squared) or static
+    occupied cells encoded as ``rsq_d = 1``: for integer cell deltas,
+    ``di^2 + dj^2 < 1``  <=>  ``di == 0 and dj == 0``, the membership test
+    of the full pass.  Layout: the window axis sits in SUBLANE position
+    ([A, S, Wn, Lb], beams minor) so Lb = 128k tiles the VPU lanes.
+    """
+    R = LASER_NUM_RANGE_SAMPLES
+    cell = cfg.map_grid_cell_size
+    res = jnp.asarray(LASER_RANGE_RESOLUTION, dtype)
+    oi = (cfg.map_y_width / 2.0) / cell
+    oj = (cfg.map_x_width / 2.0) / cell
+
+    # Analytic entry range of the slack-inflated source along each beam.
+    relx = cx_d - pos_e[:, 0][:, None]                           # [A, S]
+    rely = cy_d - pos_e[:, 1][:, None]
+    t_c = (
+        relx[:, :, None] * cos_b[:, None, :]
+        + rely[:, :, None] * sin_b[:, None, :]
+    )                                                            # [A, S, Lb]
+    bb = (relx**2 + rely**2)[:, :, None] - t_c**2
+    r_out = (jnp.sqrt(rsq_d) + _WINDOW_CELL_SLACK) * cell        # [A, S]
+    disc = r_out[:, :, None] ** 2 - bb
+    t_lo = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
+    k0 = jnp.floor(t_lo / res).astype(jnp.int32) - 1             # margin -1
+    k0 = jnp.clip(k0, 0, R)
+    k0 = jnp.where(disc > 0.0, k0, R)                            # unreachable
+
+    # Exact predicate on the window samples (same ops as the full pass:
+    # px = pos + rr*cos, i = floor(oi - py/cell), integer deltas).
+    # Layout [A, Wn, S, Lb]: the (8, 128)-tiled minor two dims are
+    # (sources, beams) — the compacted candidate count C=8 tiles the
+    # sublanes exactly, while Wn in sublane position padded 12 -> 16.
+    k = (
+        k0[:, None, :, :]
+        + jnp.arange(Wn, dtype=jnp.int32)[None, :, None, None]
+    )                                                            # [A,Wn,S,Lb]
+    valid_k = k < R
+    rr = k.astype(dtype) * res                                   # == table[k]
+    px = pos_e[:, 0][:, None, None, None] + rr * cos_b[:, None, None, :]
+    py = pos_e[:, 1][:, None, None, None] + rr * sin_b[:, None, None, :]
+    ii = jnp.floor(oi - py / cell).astype(jnp.int32)
+    jj = jnp.floor(oj + px / cell).astype(jnp.int32)
+    in_map = (ii >= 0) & (jj >= 0) & (ii < H) & (jj < W_map)
+    di = ii - gi_d[:, None, :, None]
+    dj = jj - gj_d[:, None, :, None]
+    in_src = di * di + dj * dj < rsq_d[:, None, :, None]
+    dei = ii - gi_e[:, None, None, None]
+    dej = jj - gj_e[:, None, None, None]
+    in_ego = dei * dei + dej * dej < rsq_e[:, None, None, None]
+    hit = in_src & ~in_ego & in_map & valid_k
+
+    BIG = R
+    idx = jnp.where(hit, k, BIG)
+    # k1/k2 = the two smallest DISTINCT hit indices, in ONE variadic
+    # reduce.  Two separate min-reductions (k2 masked by idx > k1) made
+    # XLA materialize the whole hit-producing chain twice — the device
+    # trace showed the block body as two near-equal fusions.
+    k1, k2 = jax.lax.reduce(
+        (idx, jnp.full_like(idx, BIG)),
+        (jnp.int32(BIG), jnp.int32(BIG)),
+        _two_smallest_distinct,
+        (1, 2),
+    )                                                            # [A, Lb]
+    ans_k = jnp.where(k1 >= BIG, -1, jnp.where(k2 >= BIG, R - 1, k2 - 1))
+    val = jnp.where(
+        ans_k >= 0, ans_k.astype(dtype) * res, jnp.asarray(LASER_MAX_RANGE, dtype)
+    )
+    return val.astype(dtype)
+
+
+def _static_cell_sources(static_cells, cfg, dtype):
+    """Static occupied cells as windowed sources: exact cell targets plus
+    world-space centers for the analytic band (rsq = 1 makes the integer
+    disc test an equality test).  Padding rows (-1, -1) only match
+    out-of-map samples, which the in-map mask erases — same argument as the
+    full pass."""
+    cell = cfg.map_grid_cell_size
+    oi = (cfg.map_y_width / 2.0) / cell
+    oj = (cfg.map_x_width / 2.0) / cell
+    ci = static_cells[:, 0]
+    cj = static_cells[:, 1]
+    cx = (cj.astype(dtype) + 0.5 - oj) * cell
+    cy = (oi - ci.astype(dtype) - 0.5) * cell
+    rsq = jnp.ones((static_cells.shape[0],), dtype)
+    return ci, cj, rsq, cx, cy
+
+
+def laserscan_window_span(state, cfg, static_cells=None, ego_idx=None):
+    """Diagnostic: the maximum window span (in range samples) any
+    (ego, source, beam) needs for :func:`laserscan_sparse` with
+    ``cfg.laserscan_entry_window = W`` to be bit-identical to the full
+    pass.  W is safe for the states being run iff this never exceeds it.
+
+    The needed span covers the analytic entry band of the slack-inflated
+    source through its first guaranteed-interior sample (when the
+    deflated source is pierced for at least one full sample step) or
+    through the band's far edge (grazing geometry — every hit is fuzzy,
+    and the second hit can sit anywhere in the band).
+    """
+    dtype = state.pos.dtype
+    L = cfg.laserscan_length
+    cell = cfg.map_grid_cell_size
+    res = float(LASER_RANGE_RESOLUTION)
+    R = LASER_NUM_RANGE_SAMPLES
+    H = int(cfg.map_y_width / cfg.map_grid_cell_size)
+    W_map = int(cfg.map_x_width / cfg.map_grid_cell_size)
+    A_o = state.pos.shape[0]
+
+    pos_e = _ego_rows(state.pos, ego_idx)
+    angles0 = jnp.linspace(LASER_MIN_ANGLE, LASER_MAX_ANGLE, L).astype(dtype)
+    angles = angles0[None, :] + _ego_rows(state.heading, ego_idx)[:, None]
+    cos_b = jnp.cos(angles)
+    sin_b = jnp.sin(angles)
+
+    _gi, _gj, center_in_map = map_grid.world_to_map(state.pos, cfg, (H, W_map))
+    disc_valid = center_in_map & state.valid
+    ego_global = (
+        jnp.arange(A_o, dtype=jnp.int32)
+        if ego_idx is None
+        else jnp.asarray(ego_idx, jnp.int32)
+    )
+    not_self = jnp.arange(A_o)[None, :] != ego_global[:, None]
+
+    rsq = (state.radius / cell) ** 2
+    cx = state.pos[:, 0]
+    cy = state.pos[:, 1]
+    src_ok = disc_valid[None, :] & not_self                      # [A_e, A_o]
+    if static_cells is not None and static_cells.shape[0] > 0:
+        _ci, _cj, rsq_s, cx_s, cy_s = _static_cell_sources(
+            static_cells, cfg, dtype
+        )
+        rsq = jnp.concatenate([rsq, rsq_s.astype(rsq.dtype)])
+        cx = jnp.concatenate([cx, cx_s.astype(cx.dtype)])
+        cy = jnp.concatenate([cy, cy_s.astype(cy.dtype)])
+        pad_ok = jnp.broadcast_to(
+            (static_cells[:, 0] >= 0)[None, :],
+            (src_ok.shape[0], static_cells.shape[0]),
+        )
+        src_ok = jnp.concatenate([src_ok, pad_ok], axis=1)
+
+    relx = cx[None, :] - pos_e[:, 0][:, None]                    # [A_e, S]
+    rely = cy[None, :] - pos_e[:, 1][:, None]
+    t_c = (
+        relx[:, :, None] * cos_b[:, None, :]
+        + rely[:, :, None] * sin_b[:, None, :]
+    )
+    bb = (relx**2 + rely**2)[:, :, None] - t_c**2
+    r_out = (jnp.sqrt(rsq) + _WINDOW_CELL_SLACK) * cell
+    r_in = jnp.maximum(jnp.sqrt(rsq) - _WINDOW_CELL_SLACK, 0.0) * cell
+    disc = r_out[None, :, None] ** 2 - bb
+    inner = r_in[None, :, None] ** 2 - bb
+    half_o = jnp.sqrt(jnp.maximum(disc, 0.0))
+    half_i = jnp.sqrt(jnp.maximum(inner, 0.0))
+    t_lo = t_c - half_o
+    t_hi = t_c + half_o
+    t_g = t_c - half_i
+    covered2 = (inner > 0.0) & (t_g + res <= t_c + half_i)
+    t_need = jnp.where(covered2, t_g + res, t_hi)
+
+    t_max = (R - 1) * res
+    relevant = (disc > 0.0) & (t_hi > 0.0) & (t_lo < t_max) & src_ok[:, :, None]
+    k0 = jnp.floor(jnp.clip(t_lo, 0.0, t_max) / res).astype(jnp.int32) - 1
+    k0 = jnp.maximum(k0, 0)
+    k1n = jnp.floor(jnp.clip(t_need, 0.0, t_max) / res).astype(jnp.int32) + 1
+    span = jnp.where(relevant, k1n - k0 + 1, 0)
+    return int(jnp.max(span))
+
+
 def laserscan_wedge_candidate_counts(state, cfg, ego_idx=None, num_blocks=4):
     """Diagnostic: per-(ego, block) count of discs passing the conservative
     wedge screen.  ``laserscan_sparse`` with
@@ -224,7 +453,7 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     H = int(cfg.map_y_width / cfg.map_grid_cell_size)
     W = int(cfg.map_x_width / cfg.map_grid_cell_size)
     angles0 = jnp.linspace(LASER_MIN_ANGLE, LASER_MAX_ANGLE, L).astype(dtype)
-    rsamples = jnp.arange(0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION).astype(dtype)
+    rsamples = _range_samples(dtype)
     R = rsamples.shape[0]
 
     pos_e = _ego_rows(state.pos, ego_idx)
@@ -322,12 +551,46 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
         return jnp.where(ans_k >= 0, best, LASER_MAX_RANGE).astype(dtype)
 
     C = cfg.laserscan_num_candidate_discs
+    Wn = cfg.laserscan_entry_window
     use_wedge = C is not None and C < A_o - 1 and L % 128 == 0
+
+    def _windowed(cos_b, sin_b, gi_d, gj_d, rsq_d, cx_d, cy_d):
+        """Windowed first-two-hits pass over the given per-ego source set
+        (static occupied cells appended as rsq=1 equality sources)."""
+        if static_cells.shape[0] > 0:
+            _ci, _cj, rsq_s, cx_s, cy_s = _static_cell_sources(
+                static_cells, cfg, dtype
+            )
+            rows = gi_d.shape[0]
+
+            def app(a, b):
+                b = jnp.broadcast_to(
+                    b[None, :].astype(a.dtype), (rows, b.shape[0])
+                )
+                return jnp.concatenate([a, b], axis=1)
+
+            gi_d = app(gi_d, static_cells[:, 0].astype(jnp.int32))
+            gj_d = app(gj_d, static_cells[:, 1].astype(jnp.int32))
+            rsq_d = app(rsq_d, rsq_s)
+            cx_d = app(cx_d, cx_s)
+            cy_d = app(cy_d, cy_s)
+        return _windowed_first_two_hits(
+            pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
+            gi_d, gj_d, rsq_d, cx_d, cy_d, cfg, H, W, Wn, dtype,
+        )
+
     if not use_wedge:
         gi_all = jnp.broadcast_to(gi[None, :], (A_e, A_o))
         gj_all = jnp.broadcast_to(gj[None, :], (A_e, A_o))
         rsq_all = jnp.broadcast_to(r_cells_sq[None, :], (A_e, A_o))
-        return _beam_block_ranges(cos_a, sin_a, gi_all, gj_all, rsq_all)
+        if Wn is None:
+            return _beam_block_ranges(cos_a, sin_a, gi_all, gj_all, rsq_all)
+        # the ego's own disc stays in the source set: its in_src predicate
+        # is literally the in_ego predicate, so its hits always cancel
+        cx_all = jnp.broadcast_to(state.pos[:, 0][None, :], (A_e, A_o))
+        cy_all = jnp.broadcast_to(state.pos[:, 1][None, :], (A_e, A_o))
+        return _windowed(cos_a, sin_a, gi_all, gj_all, rsq_all,
+                         cx_all.astype(dtype), cy_all.astype(dtype))
 
     # Wedge-culled path: compact each 128-beam block's candidate discs via
     # the exact-conservative angular screen, then run the blocks through a
@@ -374,9 +637,26 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     cos_blocks = jnp.moveaxis(cos_a.reshape(A_e, B, 128), 1, 0)  # [B, A, 128]
     sin_blocks = jnp.moveaxis(sin_a.reshape(A_e, B, 128), 1, 0)
 
+    extras = ()
+    if Wn is not None:
+        # windowed blocks additionally need the candidates' world-space
+        # centers for the analytic entry band (f32 compaction is fine: the
+        # band carries ~5e-3 m of explicit slack, vastly above f32
+        # rounding of a position)
+        cx_c = _compact(state.pos[:, 0].astype(jnp.float32))
+        cy_c = _compact(state.pos[:, 1].astype(jnp.float32))
+        # empty slots: park the analytic band out of reach (the 40000-cell
+        # gi sentinel already guarantees the exact test is false)
+        cx_c = jnp.where(occupied, cx_c, 1e7).astype(dtype)
+        cy_c = jnp.where(occupied, cy_c, 0.0).astype(dtype)
+        extras = (jnp.moveaxis(cx_c, 1, 0), jnp.moveaxis(cy_c, 1, 0))
+
     def block_body(_, x):
-        cos_b, sin_b, gi_cb, gj_cb, rsq_cb = x
-        return None, _beam_block_ranges(cos_b, sin_b, gi_cb, gj_cb, rsq_cb)
+        cos_b, sin_b, gi_cb, gj_cb, rsq_cb, *rest = x
+        if Wn is None:
+            return None, _beam_block_ranges(cos_b, sin_b, gi_cb, gj_cb,
+                                            rsq_cb)
+        return None, _windowed(cos_b, sin_b, gi_cb, gj_cb, rsq_cb, *rest)
 
     _, out = jax.lax.scan(
         block_body,
@@ -387,7 +667,8 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
             jnp.moveaxis(gi_c, 1, 0),                            # [B, A, C]
             jnp.moveaxis(gj_c, 1, 0),
             jnp.moveaxis(rsq_c, 1, 0),
-        ),
+        )
+        + extras,
     )                                                            # [B, A, 128]
     return jnp.moveaxis(out, 0, 1).reshape(A_e, L)
 

@@ -254,6 +254,56 @@ def test_laserscan_wedge_culled_matches_full():
     assert checked >= 8
 
 
+def test_laserscan_windowed_matches_full():
+    """The windowed first-two-hits sparse path
+    (cfg.laserscan_entry_window) must be bit-identical to the full sparse
+    path whenever laserscan_window_span (the validity check) does not
+    exceed the configured window, both alone and composed with the wedge
+    disc culling."""
+    import dataclasses
+
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    rng = np.random.RandomState(23)
+    checked = 0
+    for trial in range(4):
+        A = 10
+        pos = rng.uniform(-5.5, 5.5, (A, 2))
+        radius = rng.uniform(0.15, 0.6, A)
+        heading = rng.uniform(-np.pi, np.pi, A)
+        state = init_state(cfg, pos=pos, goal=pos + 3, radius=radius,
+                           pref_speed=np.ones(A), heading=heading)
+        full = np.asarray(sensors.laserscan_sparse(state, cfg, cells))
+        span = sensors.laserscan_window_span(state, cfg, cells)
+        assert span <= 16, "slack analysis expects <= 16 for r <= 0.6 m"
+        cfg_w = dataclasses.replace(cfg, laserscan_entry_window=16)
+        win = np.asarray(sensors.laserscan_sparse(state, cfg_w, cells))
+        np.testing.assert_array_equal(full, win, err_msg=f"trial {trial}")
+        cfg_cw = dataclasses.replace(cfg, laserscan_entry_window=16,
+                                     laserscan_num_candidate_discs=8)
+        counts = np.asarray(
+            sensors.laserscan_wedge_candidate_counts(state, cfg)
+        )
+        if counts.max() <= 8:
+            cw = np.asarray(sensors.laserscan_sparse(state, cfg_cw, cells))
+            np.testing.assert_array_equal(full, cw, err_msg=f"trial {trial}")
+            checked += 1
+    assert checked >= 2
+
+
+def test_range_sample_table_matches_reference_arange():
+    """The product-form range table must stay bitwise-equal to the
+    reference's np.arange(0, 6, 0.1) in float64 (numpy fills arange as
+    start + i*step, which is exactly the product form)."""
+    ours = np.asarray(sensors._range_samples(jnp.float64))
+    ref = np.arange(0.0, sensors.LASER_MAX_RANGE,
+                    sensors.LASER_RANGE_RESOLUTION)
+    assert ours.dtype == ref.dtype
+    np.testing.assert_array_equal(ours, ref)
+    assert sensors.LASER_NUM_RANGE_SAMPLES == len(ref)
+
+
 def test_env_step_wedge_culled_trajectory_bit_identical():
     """Full env steps with cfg.laserscan_num_candidate_discs set must be
     bit-identical to the uncled config over a multi-step 20-agent
@@ -270,6 +320,9 @@ def test_env_step_wedge_culled_trajectory_bit_identical():
                     agent_sorting_method="closest_last", use_static_map=True,
                     map_x_width=20.0, map_y_width=20.0)
     cfg_w = dataclasses.replace(cfg, laserscan_num_candidate_discs=10)
+    # the shipped bench config: wedge culling + entry windows together
+    cfg_ww = dataclasses.replace(cfg, laserscan_num_candidate_discs=10,
+                                 laserscan_entry_window=12)
     sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
                                  policy="GA3C_CADRL")
     params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
@@ -281,7 +334,7 @@ def test_env_step_wedge_culled_trajectory_bit_identical():
     active = sc.active_policies
     sensors_t = ("other_agents_states", "laserscan")
 
-    sf = sw = states
+    sf = sw = sww = states
     for t in range(40):
         sf, _o, _r, _g, _i = batched_env_step(
             sf, None, cfg, params, active, sensors_t, ("dist_to_goal",),
@@ -289,8 +342,13 @@ def test_env_step_wedge_culled_trajectory_bit_identical():
         sw, _o, _r, _g, _i = batched_env_step(
             sw, None, cfg_w, params, active, sensors_t, ("dist_to_goal",),
             None, cells)
-    for a, b in zip(jax.tree.leaves(sf), jax.tree.leaves(sw)):
+        sww, _o, _r, _g, _i = batched_env_step(
+            sww, None, cfg_ww, params, active, sensors_t, ("dist_to_goal",),
+            None, cells)
+    for a, b, c in zip(jax.tree.leaves(sf), jax.tree.leaves(sw),
+                       jax.tree.leaves(sww)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
 def test_env_step_sparse_laserscan_end_to_end():
