@@ -37,6 +37,7 @@ from gym_collision_avoidance_tpu.obs.sensors import (
     LASER_MAX_RANGE,
     LASER_MIN_ANGLE,
     LASER_RANGE_RESOLUTION,
+    _range_samples,
 )
 
 HB = 8  # host agents per program (Mosaic sublane granule)
@@ -163,9 +164,10 @@ def laserscan_sparse_pallas(states, cfg, static_cells):
     angles0 = jnp.linspace(
         LASER_MIN_ANGLE, LASER_MAX_ANGLE, L
     ).astype(f32).reshape(1, L)
-    rsamples = jnp.arange(
-        0.0, LASER_MAX_RANGE, LASER_RANGE_RESOLUTION
-    ).astype(f32)
+    # Same k*resolution in-dtype product form as the sparse path
+    # (obs/sensors.py:_range_samples) — arange's start+i*step fill differs
+    # by 1 ulp at 17/60 entries in f32, which broke bit-parity in round 2.
+    rsamples = _range_samples(f32)
 
     kernel = _make_kernel(A, L, S, R, oi, oj, 1.0 / cell, H, W)
     out = pl.pallas_call(
