@@ -1,18 +1,27 @@
-"""Throughput benchmark: env-steps/s per chip.
+"""Throughput benchmark: env-steps/s per chip, full config profile.
 
-Headline: the steady-state SERVING loop — 4 agents/env, NonCooperative
-policies, other-agents-states sensor, full reward/termination pipeline,
-float32, with in-graph episode auto-reset from a 64-scenario pool
-(env/autoreset.py).  Every step advances a LIVE episode; there is no
-masked-but-finished compute inflating the number (episodes in the raw
-fixed-scan config mostly finish early — that rate is reported as a
-secondary field, ``raw_scan_env_steps_per_sec``).
+Emits one JSON line per config family (BASELINE.json / PERF.md table),
+each with value + min/max spread, then the HEADLINE serving line LAST —
+the driver parses the tail line, so the headline metric is unchanged
+from round 2 while the driver now independently captures the NN-policy
+and training rows too (VERDICT round 2, item 3):
 
-Sized to be compute-bound (E=8192 envs x S=1024 steps per dispatch;
-measured sweet spot — E=16384 reads ~10% lower, S=512 ~4% lower) and
-measured as the median over 5 reps with the min/max spread recorded, so
-the number is robust to the axon tunnel's dispatch jitter.  Prints ONE
-JSON line.
+  ga3c4        4-agent GA3C-CADRL (LSTM + Dense trunk per agent)
+  cadrl4       4-agent SA-CADRL (47-action lookahead + value net)
+  ga3c20_laser 20-agent GA3C + sparse laserscan + static map
+  ppo_train    on-device PPO (rollout + GAE + 4 update epochs in one jit)
+  headline     steady-state SERVING loop — 4 agents/env, NonCooperative
+               policies, other-agents sensor, full reward/termination
+               pipeline, float32, in-graph auto-reset from a 64-scenario
+               pool (env/autoreset.py).  Every step advances a LIVE
+               episode; no masked-but-finished compute inflates it.
+
+The headline is sized to be compute-bound (E=8192 envs x S=1024 steps
+per dispatch; measured sweet spot) and reported as the median over
+5 reps with min/max spread, robust to the axon tunnel's dispatch jitter.
+Profile rows run at the official S=128 dispatch size (S=32 A/Bs are
+clamped by the ~35 ms tunnel dispatch overhead — PERF.md methodology
+note).
 
 The baseline (vs_baseline denominator) is the reference Python simulator
 measured on this machine's CPU for the identical scenario family (1 env,
@@ -21,11 +30,25 @@ measured on this machine's CPU for the identical scenario family (1 env,
 """
 
 import json
+import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+
 REFERENCE_CPU_STEPS_PER_SEC = 1438.0
+
+# (name, bench_all fn name, kwargs) — run before the headline so a crash
+# in a profile row can never cost the driver its tail-line metric.
+PROFILE_ROWS = (
+    ("ga3c4", "bench_ga3c4", {}),
+    ("cadrl4", "bench_cadrl4", {}),
+    ("ga3c20_laser", "bench_ga3c20_laser", {}),
+    ("ppo_train", "bench_ppo_train", {}),
+)
 
 
 def _bench_serving(jax, jnp, num_envs=8192, num_steps=1024, reps=5):
@@ -72,45 +95,23 @@ def _bench_serving(jax, jnp, num_envs=8192, num_steps=1024, reps=5):
     return rates, episodes
 
 
-def _bench_raw_scan(jax, jnp, num_envs=4096, num_steps=256, reps=3):
-    """The fixed-scenario fixed-scan rate (episodes finish early and idle;
-    kept as a secondary, directly-comparable-to-r1 number)."""
-    from gym_collision_avoidance_tpu import EnvConfig
-    from gym_collision_avoidance_tpu.env.batch import batched_env_step
-    from gym_collision_avoidance_tpu.scenarios import presets
-
-    cfg = EnvConfig(dtype="float32")
-    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5)
-    state = sc.to_state(cfg)
-    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), state)
-    active = sc.active_policies
-
-    def body(states, _):
-        states, obs, rew, go, _info = batched_env_step(states, None, cfg, None, active)
-        obs_sum = jnp.sum(obs["other_agents_states"]) + jnp.sum(obs["dist_to_goal"])
-        return states, (jnp.mean(rew), obs_sum, jnp.mean(go.astype(jnp.float32)))
-
-    @jax.jit
-    def run(states):
-        return jax.lax.scan(body, states, None, length=num_steps)
-
-    states, _ = run(states)
-    jax.block_until_ready(states)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        states, metrics = run(states)
-    jax.block_until_ready(states)
-    dt = time.perf_counter() - t0
-    return num_envs * num_steps * reps / dt
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
+    import bench_all
+
+    profile = []
+    for name, fn_name, kwargs in PROFILE_ROWS:
+        try:
+            row = getattr(bench_all, fn_name)(4096, 128, **kwargs)
+        except Exception:  # a profile row must never kill the headline
+            row = {"config": name, "error": traceback.format_exc(limit=2)}
+        profile.append(row)
+        print(json.dumps(row), flush=True)
+
     rates, episodes = _bench_serving(jax, jnp)
     headline = float(np.median(rates))
-    raw = _bench_raw_scan(jax, jnp)
 
     print(
         json.dumps(
@@ -122,7 +123,10 @@ def main():
                 "spread_min": round(min(rates), 1),
                 "spread_max": round(max(rates), 1),
                 "episodes_completed": episodes,
-                "raw_scan_env_steps_per_sec": round(raw, 1),
+                "profile": {
+                    r["config"]: r.get("env_steps_per_sec", r.get("error"))
+                    for r in profile
+                },
             }
         )
     )

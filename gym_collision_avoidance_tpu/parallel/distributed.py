@@ -193,7 +193,9 @@ def make_distributed_rollout(
             # shard_map's varying-manual-axes tracking; internal scans
             # (e.g. the GA3C LSTM) would then mix unvarying carries with
             # varying outputs.  Mark them varying over the env axis.
-            params = jax.tree.map(lambda x: lax.pvary(x, (axis_name,)), params)
+            params = jax.tree.map(
+                lambda x: lax.pcast(x, (axis_name,), to="varying"), params
+            )
 
             def scan_body(s, x):
                 return body(s, params, x)

@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 
 def bench_config(name, cfg, scenario, params, num_envs, num_steps,
                  static_map=None, sensors=("other_agents_states",),
-                 static_cells=None):
+                 static_cells=None, reps=3):
     import jax
     import jax.numpy as jnp
 
@@ -43,17 +43,208 @@ def bench_config(name, cfg, scenario, params, num_envs, num_steps,
 
     states, _ = run(states)
     jax.block_until_ready(states)
-    t0 = time.perf_counter()
-    reps = 3
+    rates = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         states, _m = run(states)
-    jax.block_until_ready(states)
-    dt = time.perf_counter() - t0
-    rate = num_envs * num_steps * reps / dt
+        jax.block_until_ready(states)
+        rates.append(num_envs * num_steps / (time.perf_counter() - t0))
+    rates.sort()
+    rate = rates[len(rates) // 2]
     agent_rate = rate * scenario.num_agents
     return {"config": name, "num_envs": num_envs,
             "env_steps_per_sec": round(rate, 1),
-            "agent_steps_per_sec": round(agent_rate, 1)}
+            "agent_steps_per_sec": round(agent_rate, 1),
+            "spread_min": round(rates[0], 1),
+            "spread_max": round(rates[-1], 1)}
+
+
+def bench_noncoop4(E, S):
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32")
+    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5)
+    return bench_config("noncoop4", cfg, sc, None, E, S)
+
+
+def bench_rvo4(E, S):
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32")
+    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5, policy="RVO")
+    return bench_config("rvo4", cfg, sc, None, E, S)
+
+
+def bench_cadrl4(E, S):
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.models import cadrl as cadrl_net
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32")
+    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5, policy="CADRL")
+    params = {"cadrl": cadrl_net.load_params(dtype=jnp.float32)}
+    return bench_config("cadrl4", cfg, sc, params, E // 4, S)
+
+
+def _ga3c4(E, S, name, dtype=None):
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last")
+    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5,
+                                 policy="GA3C_CADRL")
+    kw = {} if dtype is None else {"dtype": getattr(jnp, dtype)}
+    params = {"ga3c_cadrl": ga3c_cadrl.load_params(**kw)}
+    return bench_config(name, cfg, sc, params, E // 4, S)
+
+
+def bench_ga3c4(E, S):
+    return _ga3c4(E, S, "ga3c4")
+
+
+def bench_ga3c4_bf16(E, S):
+    # bf16 serving fast path: matmul weights in bf16 (norm constants
+    # stay f32; TPU MXU accumulates in f32).  NOT bit-identical to the
+    # f32 path — >=98% action agreement (tests/test_ga3c.py); end-to-end
+    # suite quality deltas recorded in RESULTS.md.
+    return _ga3c4(E, S, "ga3c4_bf16", dtype="bfloat16")
+
+
+def bench_autoreset4(E, S, reps=3):
+    # steady-state "serving" loop: episodes reset in-graph from a
+    # scenario pool, so throughput includes reset + fresh-obs cost
+    import jax as _jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.policies import registry as P
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate")
+    pool = jnp.asarray(
+        random_cases.scenario_pool(64, 4, seed=0, side_length=4.0),
+        jnp.float32,
+    )
+    policy_id = np.full(4, P.NONCOOP, np.int32)
+    astep = autoreset.make_autoreset_step(cfg, pool, policy_id)
+
+    states = _jax.vmap(
+        lambda i: autoreset.state_from_case(cfg, pool[i % 64], policy_id)
+    )(jnp.arange(E))
+    counters = jnp.arange(E, dtype=jnp.int32)
+
+    def body(carry, _):
+        st, c = carry
+        st, c, obs, rew, go = _jax.vmap(astep)(st, c)
+        return (st, c), (jnp.mean(rew), jnp.sum(obs["dist_to_goal"]))
+
+    @_jax.jit
+    def run(carry):
+        return _jax.lax.scan(body, carry, None, length=S)
+
+    carry = (states, counters)
+    carry, _ = run(carry)
+    _jax.block_until_ready(carry[0])
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        carry, _m = run(carry)
+        _jax.block_until_ready(carry[0])
+        rates.append(E * S / (time.perf_counter() - t0))
+    rates.sort()
+    return {"config": "autoreset4", "num_envs": E,
+            "env_steps_per_sec": round(rates[len(rates) // 2], 1),
+            "spread_min": round(rates[0], 1),
+            "spread_max": round(rates[-1], 1),
+            "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E)))}
+
+
+def bench_ppo_train(E, S, num_agents=2, arch="mlp"):
+    # on-device PPO training throughput: rollout + GAE + 4 epochs of
+    # minibatched updates per iteration, all in one jit.  env-steps/s
+    # counts only ROLLOUT steps (the optimizer epochs are overhead on
+    # top), so this is directly comparable to the serving rows.
+    import jax as _jax
+
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    ppo = PPOConfig(num_envs=min(E, 2048), horizon=64, num_agents=num_agents,
+                    policy_arch=arch)
+    train_step, init_fn, _ = make_ppo(ppo)
+    step = _jax.jit(train_step)
+    rng = _jax.random.PRNGKey(0)
+    carry = list(init_fn(rng))
+    rng, k = _jax.random.split(rng)
+    *carry, m = step(*carry, k)
+    _jax.block_until_ready(carry[0])
+    reps = max(1, S // 64)
+    rates = []
+    for _ in range(reps):
+        rng, k = _jax.random.split(rng)
+        t0 = time.perf_counter()
+        *carry, m = step(*carry, k)
+        _jax.block_until_ready(carry[0])
+        rates.append(ppo.num_envs * ppo.horizon / (time.perf_counter() - t0))
+    rates.sort()
+    rate = rates[len(rates) // 2]
+    name = "ppo_train" if arch == "mlp" else f"ppo_train_{arch}"
+    return {"config": name, "num_envs": ppo.num_envs,
+            "num_agents": num_agents,
+            "env_steps_per_sec": round(rate, 1),
+            "agent_steps_per_sec": round(rate * ppo.num_agents, 1),
+            "spread_min": round(rates[0], 1),
+            "spread_max": round(rates[-1], 1)}
+
+
+def bench_ga3c20_laser(E, S):
+    # laserscan_num_candidate_discs=10: per-beam-block disc culling,
+    # bit-identical while wedge candidate counts stay <= 10 — this
+    # scenario's trajectory peaks at 8 (validated in
+    # tests/test_maps_sensors.py and obs.sensors.
+    # laserscan_wedge_candidate_counts).
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.maps import grid as map_grid
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last", use_static_map=True,
+                    map_x_width=20.0, map_y_width=20.0,
+                    laserscan_num_candidate_discs=10)
+    sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
+                                 policy="GA3C_CADRL")
+    params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+    # natural (unpadded) cell list: an all-padding 64-row list costs
+    # [E, A, L, R, 64] dead compares in the sparse laserscan
+    static_np = map_grid.load_static_map(cfg, None)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np))
+    return bench_config("ga3c20_laser", cfg, sc, params, E // 16, S,
+                        static_cells=cells,
+                        sensors=("other_agents_states", "laserscan"))
+
+
+CONFIGS = {
+    "noncoop4": bench_noncoop4,
+    "rvo4": bench_rvo4,
+    "cadrl4": bench_cadrl4,
+    "ga3c4": bench_ga3c4,
+    "ga3c4_bf16": bench_ga3c4_bf16,
+    "autoreset4": bench_autoreset4,
+    "ppo_train": bench_ppo_train,
+    "ga3c20_laser": bench_ga3c20_laser,
+}
 
 
 def main():
@@ -69,160 +260,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
-    import numpy as np
-
-    from gym_collision_avoidance_tpu import EnvConfig
-    from gym_collision_avoidance_tpu.maps import grid as map_grid
-    from gym_collision_avoidance_tpu.models import cadrl as cadrl_net
-    from gym_collision_avoidance_tpu.models import ga3c_cadrl
-    from gym_collision_avoidance_tpu.scenarios import presets
-
     results = []
-    E, S = args.envs, args.steps
-
-    def want(name):
-        return args.configs is None or name in args.configs
-
-    if want("noncoop4"):
-        cfg = EnvConfig(dtype="float32")
-        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5)
-        results.append(bench_config("noncoop4", cfg, sc, None, E, S))
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("rvo4"):
-        cfg = EnvConfig(dtype="float32")
-        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5, policy="RVO")
-        results.append(bench_config("rvo4", cfg, sc, None, E, S))
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("cadrl4"):
-        cfg = EnvConfig(dtype="float32")
-        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5, policy="CADRL")
-        params = {"cadrl": cadrl_net.load_params(dtype=jnp.float32)}
-        results.append(bench_config("cadrl4", cfg, sc, params, E // 4, S))
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("ga3c4"):
-        cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
-                        agent_sorting_method="closest_last")
-        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5,
-                                     policy="GA3C_CADRL")
-        params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
-        results.append(bench_config("ga3c4", cfg, sc, params, E // 4, S))
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("ga3c4_bf16"):
-        # bf16 serving fast path: matmul weights in bf16 (norm constants
-        # stay f32; TPU MXU accumulates in f32).  NOT bit-identical to the
-        # f32 path — >=98% action agreement (tests/test_ga3c.py).
-        cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
-                        agent_sorting_method="closest_last")
-        sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5,
-                                     policy="GA3C_CADRL")
-        params = {"ga3c_cadrl": ga3c_cadrl.load_params(dtype=jnp.bfloat16)}
-        results.append(bench_config("ga3c4_bf16", cfg, sc, params, E // 4, S))
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("autoreset4"):
-        # steady-state "serving" loop: episodes reset in-graph from a
-        # scenario pool, so throughput includes reset + fresh-obs cost
-        import jax as _jax
-
-        from gym_collision_avoidance_tpu.env import autoreset
-        from gym_collision_avoidance_tpu.policies import registry as P
-        from gym_collision_avoidance_tpu.scenarios import random_cases
-
-        cfg = EnvConfig(dtype="float32", done_mode="evaluate")
-        pool = jnp.asarray(
-            random_cases.scenario_pool(64, 4, seed=0, side_length=4.0),
-            jnp.float32,
-        )
-        policy_id = np.full(4, P.NONCOOP, np.int32)
-        astep = autoreset.make_autoreset_step(cfg, pool, policy_id)
-        E2 = E
-
-        states = _jax.vmap(
-            lambda i: autoreset.state_from_case(cfg, pool[i % 64], policy_id)
-        )(jnp.arange(E2))
-        counters = jnp.arange(E2, dtype=jnp.int32)
-
-        def body(carry, _):
-            st, c = carry
-            st, c, obs, rew, go = _jax.vmap(astep)(st, c)
-            return (st, c), (jnp.mean(rew), jnp.sum(obs["dist_to_goal"]))
-
-        @_jax.jit
-        def run(carry):
-            return _jax.lax.scan(body, carry, None, length=S)
-
-        carry = (states, counters)
-        carry, _ = run(carry)
-        _jax.block_until_ready(carry[0])
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            carry, _m = run(carry)
-        _jax.block_until_ready(carry[0])
-        dt = time.perf_counter() - t0
-        rate = E2 * S * reps / dt
-        results.append({"config": "autoreset4", "num_envs": E2,
-                        "env_steps_per_sec": round(rate, 1),
-                        "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E2)))})
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("ppo_train"):
-        # on-device PPO training throughput: rollout + GAE + 4 epochs of
-        # minibatched updates per iteration, all in one jit.  env-steps/s
-        # counts only ROLLOUT steps (the optimizer epochs are overhead on
-        # top), so this is directly comparable to the serving rows.
-        import jax as _jax
-
-        from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
-
-        ppo = PPOConfig(num_envs=min(E, 2048), horizon=64, num_agents=2)
-        train_step, init_fn, _ = make_ppo(ppo)
-        step = _jax.jit(train_step)
-        rng = _jax.random.PRNGKey(0)
-        carry = list(init_fn(rng))
-        rng, k = _jax.random.split(rng)
-        *carry, m = step(*carry, k)
-        _jax.block_until_ready(carry[0])
-        reps = max(1, S // 64)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            rng, k = _jax.random.split(rng)
-            *carry, m = step(*carry, k)
-        _jax.block_until_ready(carry[0])
-        dt = time.perf_counter() - t0
-        rate = ppo.num_envs * ppo.horizon * reps / dt
-        results.append({"config": "ppo_train", "num_envs": ppo.num_envs,
-                        "env_steps_per_sec": round(rate, 1),
-                        "agent_steps_per_sec": round(rate * ppo.num_agents, 1)})
-        print(json.dumps(results[-1]), flush=True)
-
-    if want("ga3c20_laser"):
-        # laserscan_num_candidate_discs=10: per-beam-block disc culling,
-        # bit-identical while wedge candidate counts stay <= 10 — this
-        # scenario's trajectory peaks at 8 (validated in
-        # tests/test_maps_sensors.py and obs.sensors.
-        # laserscan_wedge_candidate_counts).
-        cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
-                        agent_sorting_method="closest_last", use_static_map=True,
-                        map_x_width=20.0, map_y_width=20.0,
-                        laserscan_num_candidate_discs=10)
-        sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
-                                     policy="GA3C_CADRL")
-        params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
-        # natural (unpadded) cell list: an all-padding 64-row list costs
-        # [E, A, L, R, 64] dead compares in the sparse laserscan
-        static_np = map_grid.load_static_map(cfg, None)
-        cells = jnp.asarray(map_grid.occupied_cell_list(static_np))
-        results.append(
-            bench_config("ga3c20_laser", cfg, sc, params, E // 16, S,
-                         static_cells=cells,
-                         sensors=("other_agents_states", "laserscan"))
-        )
+    for name, fn in CONFIGS.items():
+        if args.configs is not None and name not in args.configs:
+            continue
+        results.append(fn(args.envs, args.steps))
         print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"all": results}))
