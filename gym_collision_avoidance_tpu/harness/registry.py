@@ -102,6 +102,17 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_10agent_curr",),
     ),
+    # bf16-weights serving variant of GA3C-CADRL-10 (matmul weights in
+    # bfloat16, norm constants f32; models/ga3c_cadrl.load_params).  NOT
+    # bit-identical to f32 — registered so the 500-case suites can
+    # quality-gate the +13% serving throughput end-to-end (RESULTS.md
+    # "bf16 serving quality gate").
+    "GA3C-CADRL-10-bf16": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_last",
+        max_num_other_agents_observed=19,
+        needs_params=("ga3c_cadrl:iros18:bf16",),
+    ),
     "RVO": PolicySpec(policy_id=policies.RVO),
     "noncoop": PolicySpec(policy_id=policies.NONCOOP),
     "static": PolicySpec(policy_id=policies.STATIC),
@@ -115,18 +126,25 @@ def load_params(*param_keys: str) -> dict:
     (see ``models.ga3c_cadrl.CHECKPOINTS``); the weights still land under
     the ``"ga3c_cadrl"`` params slot that the policy kernel reads, so one
     env uses one GA3C checkpoint at a time (the reference's experiment
-    registry never mixes checkpoints within an env either).
+    registry never mixes checkpoints within an env either).  A trailing
+    ``":bf16"`` loads the matmul weights in bfloat16 (the TPU serving
+    fast path — norm constants stay f32).
     """
+    import jax.numpy as jnp
+
     params = {}
     for key in set(param_keys):
         if key == "ga3c_cadrl" or key.startswith("ga3c_cadrl:"):
             from gym_collision_avoidance_tpu.models import ga3c_cadrl
 
             name = key.split(":", 1)[1] if ":" in key else "iros18"
+            dtype = jnp.float32
+            if name.endswith(":bf16"):
+                name, dtype = name[: -len(":bf16")], jnp.bfloat16
             # a known checkpoint name, or a filesystem path (e.g. a net
             # trained on-device by scripts/train_ppo.py --export-params)
             params["ga3c_cadrl"] = ga3c_cadrl.load_params(
-                ga3c_cadrl.CHECKPOINTS.get(name, name)
+                ga3c_cadrl.CHECKPOINTS.get(name, name), dtype=dtype
             )
         elif key == "cadrl" or key.startswith("cadrl:"):
             from gym_collision_avoidance_tpu.models import cadrl

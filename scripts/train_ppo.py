@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--resume", default=None, metavar="PATH",
                     help="resume from a carry saved by --save (bitwise "
                          "continuation of the interrupted run)")
+    ap.add_argument("--init-params", default=None, metavar="PATH",
+                    help="(--arch ga3c) warm-start the net from an .npz "
+                         "exported by --export-params — the curriculum "
+                         "mechanism: a fresh optimizer + fresh envs (any "
+                         "agent count) around a previously trained net")
     ap.add_argument("--export-params", default=None, metavar="PATH",
                     help="(--arch ga3c) write the trained net as an .npz "
                          "checkpoint loadable by models.ga3c_cadrl."
@@ -119,6 +124,20 @@ def main():
     if args.resume:
         carry = ckpt.load_state(args.resume, tuple(carry))
         print(f"resumed from {args.resume}")
+    elif args.init_params:
+        if args.arch != "ga3c":
+            sys.exit("--init-params requires --arch ga3c")
+        import jax.numpy as jnp
+        import optax
+
+        with np.load(args.init_params) as z:
+            params = {k: jnp.asarray(z[k]) for k in z.files}
+        assert set(params) == set(carry[0]), "checkpoint/net key mismatch"
+        # fresh optimizer state around the warm-started net (the round-2
+        # curriculum recipe; Adam moments from the previous stage carry
+        # no useful signal into the new scenario distribution)
+        carry = (params, optax.adam(ppo.lr).init(params)) + tuple(carry[2:])
+        print(f"warm-started params from {args.init_params}")
 
     rng = jax.random.PRNGKey(ppo.seed + 7)
     carry = list(carry)
