@@ -54,7 +54,16 @@ def _np_unicycle_step(pos, heading, action, dt, max_turn_rate):
     sel_speed = action[..., 0]
     dheading = action[..., 1]
     if max_turn_rate is not None:
-        dheading = np.clip(dheading / dt, -max_turn_rate, max_turn_rate) * dt
+        # The reference does this whole chain in FLOAT32: actions reach
+        # the dynamics through the env's f32 buffer
+        # (collision_avoidance_env.py:305-306) and NumPy-2 weak promotion
+        # keeps /dt, clip and *dt in f32
+        # (UnicycleDynamicsMaxTurnRate.py:30-32).  Only the +heading add
+        # below promotes to the state dtype.
+        d32 = np.float32(dheading)
+        rate32 = np.clip(d32 / np.float32(dt), -np.float32(max_turn_rate),
+                         np.float32(max_turn_rate))
+        dheading = (rate32 * np.float32(dt)).astype(np.asarray(heading).dtype)
     sel_heading = _np_wrap(dheading + heading)
     c = np.cos(sel_heading)
     s = np.sin(sel_heading)
@@ -106,7 +115,14 @@ def unicycle_step(pos, heading, action, dt, *, max_turn_rate=None, exact=False):
     selected_speed = action[..., 0]
     dheading = action[..., 1]
     if max_turn_rate is not None:
-        dheading = jnp.clip(dheading / dt, -max_turn_rate, max_turn_rate) * dt
+        # f32 clip chain, matching the reference exactly (see
+        # _np_unicycle_step): in f32 production mode this is a no-op
+        # relayout; in f64 golden mode it reproduces the reference's
+        # f32-buffered action arithmetic bit for bit.
+        d32 = dheading.astype(jnp.float32)
+        rate32 = jnp.clip(d32 / jnp.float32(dt), -jnp.float32(max_turn_rate),
+                          jnp.float32(max_turn_rate))
+        dheading = (rate32 * jnp.float32(dt)).astype(heading.dtype)
     selected_heading = maths.wrap(dheading + heading)
 
     c = jnp.cos(selected_heading)
@@ -178,6 +194,21 @@ def new_heading_cmd(action, heading):
     return maths.wrap(action[..., 1] + heading)
 
 
+def _np_libm_square(a):
+    """Reference-exact ``x**2``: the reference squares SCALARS
+    (``goal_direction[0]**2``, agent.py:343; Dynamics.py:38), which numpy
+    routes to libm ``pow`` — 1 ulp off an exact multiply on ~0.1% of
+    inputs, and ALSO 1 ulp off numpy's vectorized ``arr**2`` (which
+    lowers to ``np.square``).  Only a per-element libm call reproduces
+    it (strict-parity is a CPU test mode; speed is irrelevant here)."""
+    import math
+
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    return np.array([math.pow(v, 2.0) for v in a.ravel()]).reshape(a.shape)
+
+
 def _np_update_ego_frame(pos, goal, heading, vel):
     """Host-numpy ego-frame refresh, replicating ``Agent.get_ref``
     (agent.py:329-349) + ``Dynamics.update_ego_frame`` (Dynamics.py:24-41)
@@ -185,14 +216,14 @@ def _np_update_ego_frame(pos, goal, heading, vel):
     import numpy as np
 
     gd = goal - pos
-    dist = np.sqrt(gd[..., 0] ** 2 + gd[..., 1] ** 2)
+    dist = np.sqrt(_np_libm_square(gd[..., 0]) + _np_libm_square(gd[..., 1]))
     ref_prll = np.where(
         (dist > 1e-8)[..., None], gd / np.maximum(dist, 1e-30)[..., None], gd
     )
     ref_orth = np.stack([-ref_prll[..., 1], ref_prll[..., 0]], axis=-1)
     ref_angle = np.arctan2(ref_prll[..., 1], ref_prll[..., 0])
     heading_ego = _np_wrap(heading - ref_angle)
-    cur_speed = np.sqrt(vel[..., 0] ** 2 + vel[..., 1] ** 2)
+    cur_speed = np.sqrt(_np_libm_square(vel[..., 0]) + _np_libm_square(vel[..., 1]))
     vel_ego = np.stack(
         [cur_speed * np.cos(heading_ego), cur_speed * np.sin(heading_ego)],
         axis=-1,
