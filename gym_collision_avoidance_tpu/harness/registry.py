@@ -102,6 +102,14 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_10agent_curr",),
     ),
+    # the same curriculum re-trained end-to-end ON THE TPU CHIP in ~8 min
+    # (scripts/train_curriculum.sh; RESULTS.md "TPU-trained curriculum")
+    "PPO-selfplay-10agent-TPU": PolicySpec(
+        policy_id=policies.GA3C_CADRL,
+        agent_sorting_method="closest_first",
+        max_num_other_agents_observed=3,
+        needs_params=("ga3c_cadrl:ppo_selfplay_10agent_tpu",),
+    ),
     # bf16-weights serving variant of GA3C-CADRL-10 (matmul weights in
     # bfloat16, norm constants f32; models/ga3c_cadrl.load_params).  NOT
     # bit-identical to f32 — registered so the 500-case suites can

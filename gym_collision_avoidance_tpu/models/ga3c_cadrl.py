@@ -73,6 +73,13 @@ CHECKPOINTS = {
     # (RESULTS.md run H).  closest_first sorting.
     "ppo_selfplay_10agent_curr": os.path.join(
         _WEIGHTS_DIR, "ppo_selfplay_10agent_curr.npz"),
+    # The same 5-stage curriculum re-trained END-TO-END ON A TPU v5e CHIP
+    # by scripts/train_curriculum.sh (49M env-steps in ~8 min wall vs
+    # ~4.5 h CPU).  99.0/97.8/98.0/96.4/97.2/92.4/90.6 %% suite success
+    # at 2/3/4/5/6/8/10 agents — above RVO/ORCA at every density
+    # (RESULTS.md "TPU-trained curriculum").
+    "ppo_selfplay_10agent_tpu": os.path.join(
+        _WEIGHTS_DIR, "ppo_selfplay_10agent_tpu.npz"),
 }
 
 _WEIGHTS_PATH = CHECKPOINTS["iros18"]

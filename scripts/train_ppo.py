@@ -128,15 +128,16 @@ def main():
         if args.arch != "ga3c":
             sys.exit("--init-params requires --arch ga3c")
         import jax.numpy as jnp
-        import optax
 
         with np.load(args.init_params) as z:
             params = {k: jnp.asarray(z[k]) for k in z.files}
         assert set(params) == set(carry[0]), "checkpoint/net key mismatch"
-        # fresh optimizer state around the warm-started net (the round-2
-        # curriculum recipe; Adam moments from the previous stage carry
-        # no useful signal into the new scenario distribution)
-        carry = (params, optax.adam(ppo.lr).init(params)) + tuple(carry[2:])
+        # Swap the net only.  carry[1] (fresh tx.init state: zero Adam
+        # moments, step 0) is shape-keyed, not value-keyed, so it is
+        # already the correct fresh optimizer state for the warm-started
+        # params — the curriculum recipe: previous-stage Adam moments
+        # carry no useful signal into the new scenario distribution.
+        carry = (params,) + tuple(carry[1:])
         print(f"warm-started params from {args.init_params}")
 
     rng = jax.random.PRNGKey(ppo.seed + 7)
