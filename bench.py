@@ -41,13 +41,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scr
 
 REFERENCE_CPU_STEPS_PER_SEC = 1438.0
 
-# (name, bench_all fn name, kwargs) — run before the headline so a crash
-# in a profile row can never cost the driver its tail-line metric.
+# (name, bench_all fn name, (envs_arg, steps)) — run before the headline
+# so a crash in a profile row can never cost the driver its tail-line
+# metric.  NN-policy rows use serving-scale dispatches (S=1024, the
+# headline's measured sweet spot): at S=128 the axon tunnel's ~28-35 ms
+# per-dispatch host overhead clamps ga3c4 to ~3.4e6 when the device-side
+# rate is ~10e6 (round-3 trace, PERF.md).  The laser row stays at S=128 —
+# its dispatches are seconds long already (device-bound).
 PROFILE_ROWS = (
-    ("ga3c4", "bench_ga3c4", {}),
-    ("cadrl4", "bench_cadrl4", {}),
-    ("ga3c20_laser", "bench_ga3c20_laser", {}),
-    ("ppo_train", "bench_ppo_train", {}),
+    ("ga3c4", "bench_ga3c4", (8192, 1024)),
+    ("cadrl4", "bench_cadrl4", (8192, 1024)),
+    ("ga3c20_laser", "bench_ga3c20_laser", (4096, 128)),
+    ("ppo_train", "bench_ppo_train", (4096, 128)),
 )
 
 
@@ -102,9 +107,9 @@ def main():
     import bench_all
 
     profile = []
-    for name, fn_name, kwargs in PROFILE_ROWS:
+    for name, fn_name, (envs, steps) in PROFILE_ROWS:
         try:
-            row = getattr(bench_all, fn_name)(4096, 128, **kwargs)
+            row = getattr(bench_all, fn_name)(envs, steps)
         except Exception:  # a profile row must never kill the headline
             row = {"config": name, "error": traceback.format_exc(limit=2)}
         profile.append(row)

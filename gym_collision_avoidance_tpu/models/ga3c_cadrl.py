@@ -154,7 +154,8 @@ def forward(params, x, max_seq_len: int | None = None):
     return _trunk(params, seq_len, host, others)
 
 
-def forward_parts(params, scalars, others, max_seq_len: int | None = None):
+def forward_parts(params, scalars, others, max_seq_len: int | None = None,
+                  sensor_slots: int | None = None):
     """Structured-input forward, bit-identical to :func:`forward` on the
     equivalent flat vector, for callers that hold the obs as
     ``[B, 5]`` scalars + ``[B, K, 7]`` other-agent tuples (the step's
@@ -163,16 +164,24 @@ def forward_parts(params, scalars, others, max_seq_len: int | None = None):
     then reshapes straight back to [B, K, 7], and the flatten forces a
     layout copy of the sensor's einsum output on TPU.
 
-    Only valid when 5 + K*7 equals the checkpoint input width (no
-    crop/pad needed); callers fall back to :func:`forward` otherwise.
+    ``sensor_slots``: the caller's full sensor slot count when ``others``
+    arrives ALREADY SLICED to its first K <= sensor_slots rows (the
+    serving fast path: slicing before the normalize/relayout avoids
+    moving the 16 padding rows of a 19-slot sensor through HBM when the
+    LSTM only consumes A-1 rows — output-identical because truncated
+    slots are dynamic_rnn copy-through).  Defaults to K (unsliced).
+
+    Only valid when 5 + sensor_slots*7 equals the checkpoint input width
+    (no crop/pad needed); callers fall back to :func:`forward` otherwise.
     """
     width = params["input_avg"].shape[0]
     B, K = others.shape[0], others.shape[1]
-    assert 5 + K * 7 == width, (K, width)
+    assert 5 + 7 * (K if sensor_slots is None else sensor_slots) == width, (
+        K, sensor_slots, width)
     avg_s = params["input_avg"][:5]
     std_s = params["input_std"][:5]
-    avg_o = params["input_avg"][5:].reshape(K, 7)
-    std_o = params["input_std"][5:].reshape(K, 7)
+    avg_o = params["input_avg"][5:].reshape(-1, 7)[:K]
+    std_o = params["input_std"][5:].reshape(-1, 7)[:K]
     dtype = params["lstm_kernel"].dtype
     sn = ((scalars - avg_s) / std_s).astype(dtype)             # [B, 5]
     on = ((others - avg_o) / std_o).astype(dtype)              # [B, K, 7]
@@ -230,7 +239,13 @@ def _trunk_raw(params, seq_len, host, others):
         c, h = init
     else:
         ts = jnp.arange(T)
-        (c, h), _ = jax.lax.scan(scan_body, init, (x_gates.swapaxes(0, 1), ts))
+        # unroll: T is small and static (<= K-1 <= 19); rolled, each scan
+        # step dynamic-slices x_gates into a fresh [1, B, 4H] scratch copy
+        # (~28% of the serving step in the round-3 trace) — unrolled, the
+        # slices are static and fuse into the gate arithmetic.
+        (c, h), _ = jax.lax.scan(
+            scan_body, init, (x_gates.swapaxes(0, 1), ts), unroll=True
+        )
 
     z = jnp.concatenate([host, h], axis=-1)                    # [B, 68]
     z = jax.nn.relu(z @ params["layer1_kernel"] + params["layer1_bias"])

@@ -77,12 +77,20 @@ def ga3c_cadrl_kernel_batched(states, cfg, params):
     if 5 + K * 7 == width:
         # structured fast path: no [B, K, 7] -> [B, 133] flatten (which
         # forces a layout copy of the sensor output) — see
-        # models.ga3c_cadrl.forward_parts
+        # models.ga3c_cadrl.forward_parts.  Slice to the A-1 rows the
+        # LSTM actually consumes BEFORE the reshape/normalize: with the
+        # registry's 19-slot sensor and a 4-agent env, 16 of 19 rows are
+        # padding that the truncated dynamic_rnn copy-throughs anyway,
+        # and relayouting them cost two [E*A, 19, 7] copies per step in
+        # the round-3 trace.  Output-identical.
+        T = min(K, A - 1)
         probs, _value = net.forward_parts(
             p,
             scalars,
-            states.sensed_others.astype(jnp.float32).reshape(N, K, 7),
+            states.sensed_others[:, :, :T].astype(jnp.float32)
+            .reshape(N, T, 7),
             max_seq_len=A - 1,
+            sensor_slots=K,
         )
     else:
         vec = jnp.concatenate(
