@@ -18,7 +18,16 @@ env batch scales across *hosts x devices* the TPU-pod way:
   * the rollout loop (:func:`make_distributed_rollout`) runs under
     ``shard_map`` with **explicit** ``lax.pmean`` / ``lax.psum`` metric
     reductions over the env axis, so the cross-host traffic is exactly
-    two scalars per step and visible in the program text.
+    two [num_steps] vectors per *dispatch* and visible in the program
+    text.  The reductions sit OUTSIDE the step scan: each step computes
+    its local scalar metrics, the scan stacks them, and one
+    pmean/psum of the stacked [num_steps] arrays reduces them across
+    devices — bit-identical to reducing per step (the collective
+    commutes with the stacking), but 2 collectives per dispatch instead
+    of 2*num_steps.  On real ICI that saves (2S-2) launch latencies; on
+    the virtual CPU mesh (where each collective is a host-side
+    rendezvous) it is the difference between weak scaling collapsing
+    and staying flat (SCALING.md).
 
 Single-process use (tests, the one-chip axon tunnel) goes through the same
 code path: ``init_distributed()`` is a no-op when no coordinator is
@@ -166,9 +175,11 @@ def make_distributed_rollout(
 ):
     """Jitted ``shard_map`` rollout over the global env batch.
 
-    Every device steps its local env shard; per-step metrics are reduced
-    with explicit ``lax.pmean`` / ``lax.psum`` over the env axis — the only
-    cross-device communication in the program (two scalars per step).
+    Every device steps its local env shard; metrics are reduced with
+    explicit ``lax.pmean`` / ``lax.psum`` over the env axis — the only
+    cross-device communication in the program.  The reductions run once
+    per dispatch on the scan-stacked [num_steps] metric vectors (NOT per
+    step): identical values, 2 collectives instead of 2*num_steps.
 
     Returns ``run(states[, params]) -> (final_states, metrics)`` where
     ``metrics`` leaves are fully-replicated [num_steps] arrays.
@@ -178,14 +189,22 @@ def make_distributed_rollout(
         states, _obs, rewards, game_over, _info = batched_env_step(
             states, None, cfg, params, active_policies, sensors, states_in_obs
         )
-        # explicit collectives: local mean -> pmean over the mesh axis
+        # local per-step scalars; the cross-device reduction happens once
+        # on the stacked [num_steps] vectors after the scan
         metrics = {
-            "mean_reward": lax.pmean(jnp.mean(rewards), axis_name),
-            "done_count": lax.psum(
-                jnp.sum(game_over.astype(jnp.float32)), axis_name
-            ),
+            "mean_reward": jnp.mean(rewards),
+            "done_count": jnp.sum(game_over.astype(jnp.float32)),
         }
         return states, metrics
+
+    def reduce_metrics(metrics):
+        # explicit collectives: one pmean + one psum of [num_steps]
+        # vectors per dispatch (commutes with the scan stacking, so the
+        # values are bit-identical to per-step reductions)
+        return {
+            "mean_reward": lax.pmean(metrics["mean_reward"], axis_name),
+            "done_count": lax.psum(metrics["done_count"], axis_name),
+        }
 
     if with_params:
         def sharded(states, params):
@@ -200,7 +219,10 @@ def make_distributed_rollout(
             def scan_body(s, x):
                 return body(s, params, x)
 
-            return lax.scan(scan_body, states, None, length=num_steps)
+            states, metrics = lax.scan(
+                scan_body, states, None, length=num_steps
+            )
+            return states, reduce_metrics(metrics)
 
         run = shard_map(
             sharded,
@@ -214,7 +236,8 @@ def make_distributed_rollout(
         def scan_body(s, x):
             return body(s, None, x)
 
-        return lax.scan(scan_body, states, None, length=num_steps)
+        states, metrics = lax.scan(scan_body, states, None, length=num_steps)
+        return states, reduce_metrics(metrics)
 
     run = shard_map(
         sharded, mesh=mesh, in_specs=P(axis_name), out_specs=(P(axis_name), P())
