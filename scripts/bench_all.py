@@ -219,10 +219,16 @@ def bench_ga3c20_laser(E, S):
     from gym_collision_avoidance_tpu.models import ga3c_cadrl
     from gym_collision_avoidance_tpu.scenarios import presets
 
+    # laserscan_entry_window=14: per-(ego, source) first-two-hit windows
+    # around each source's analytic entry sample — bit-identical while the
+    # trajectory's window span stays <= 14 (this scenario peaks at 12 over
+    # 512 steps; validated bitwise at full scale by
+    # scripts/ab_laser_window.py: 31.5k -> 58.7k env-steps/s).
     cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
                     agent_sorting_method="closest_last", use_static_map=True,
                     map_x_width=20.0, map_y_width=20.0,
-                    laserscan_num_candidate_discs=10)
+                    laserscan_num_candidate_discs=10,
+                    laserscan_entry_window=14)
     sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
                                  policy="GA3C_CADRL")
     params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
