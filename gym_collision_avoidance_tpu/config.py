@@ -87,7 +87,13 @@ class EnvConfig:
     # span larger than W — check with obs.sensors.laserscan_window_span
     # before trusting a W for a new scenario family (radius-0.3 m agents
     # on a 0.1 m grid need at most 12; the 20-agent benchmark scenario
-    # measures 11).
+    # measures 11).  CONTRACT: both this and laserscan_num_candidate_discs
+    # are conditionally exact, and the condition is checked IN-GRAPH every
+    # step — env_step's info carries "laserscan_exactness_overflow", True
+    # on any step whose ranges may diverge from the full pass (see
+    # obs.sensors.laserscan_sparse(return_overflow=True)).  Consumers that
+    # bypass env_step's info (custom rollers) must check the flag
+    # themselves; scripts/bench_all.py aborts the run on any overflow.
     laserscan_entry_window: int | None = None
 
     # --- CADRL value-net social norm (CADRLPolicy.py:22-23) ---

@@ -261,11 +261,19 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors,
         dynamic_map = map_grid.stamp_agents(
             static_map, state.pos, state.radius, state.valid, cfg
         )
+    sense_info = {}
     if "laserscan" in spec:
         idx = spec["laserscan"]
         if static_cells is not None:
-            ranges_e = sensors_mod.laserscan_sparse(state, cfg, static_cells,
-                                                    ego_idx=idx)
+            ranges_e, laser_ovf = sensors_mod.laserscan_sparse(
+                state, cfg, static_cells, ego_idx=idx, return_overflow=True
+            )
+            if (cfg.laserscan_entry_window is not None
+                    or cfg.laserscan_num_candidate_discs is not None):
+                # exactness guard for the windowed / wedge-culled fast
+                # paths: True means this step's ranges may diverge from
+                # the full pass (see laserscan_sparse)
+                sense_info["laserscan_exactness_overflow"] = laser_ovf
         else:
             ranges_e = sensors_mod.laserscan(state, cfg, dynamic_map,
                                              ego_idx=idx)
@@ -317,7 +325,7 @@ def _sense_and_observe(state: EnvState, cfg: EnvConfig, sensors,
             num_other_agents_observed=counts,
         )
     obs = obs_spec.build_observation(state, cfg, sensed, states_in_obs)
-    return state, obs
+    return state, obs, sense_info
 
 
 def _check_dones(state: EnvState, cfg: EnvConfig):
@@ -389,7 +397,7 @@ def env_step(
 
     state = _take_actions(state, actions, cfg)
     state, rewards = _compute_rewards(state, cfg, static_map)
-    state, obs = _sense_and_observe(
+    state, obs, sense_info = _sense_and_observe(
         state, cfg, sensors, states_in_obs, static_map, static_cells
     )
     state, which_done, game_over = _check_dones(state, cfg)
@@ -400,6 +408,7 @@ def env_step(
         "which_agents_learning": policies._isin(
             state.policy_id, policies.STILL_LEARNING_POLICIES
         ),
+        **sense_info,
     }
     return state, obs, rewards, game_over, info
 
@@ -422,7 +431,7 @@ def env_reset(
     Build ``state`` itself with :func:`core.state.init_state` from a
     scenario (host-side), then call this.
     """
-    state, obs = _sense_and_observe(
+    state, obs, _sense_info = _sense_and_observe(
         state, cfg, sensors, states_in_obs, static_map, static_cells
     )
     return state, obs

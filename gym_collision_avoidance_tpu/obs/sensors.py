@@ -206,7 +206,7 @@ def _two_smallest_distinct(acc, val):
 
 def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
                              gi_d, gj_d, rsq_d, cx_d, cy_d,
-                             cfg, H, W_map, Wn, dtype):
+                             cfg, H, W_map, Wn, dtype, span_ok=None):
     """Laserscan ranges [A, Lb] via per-source entry windows.
 
     The reference's cumsum==1 rule (LaserScanSensor.py:63-82) depends only
@@ -227,6 +227,15 @@ def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
     ``di^2 + dj^2 < 1``  <=>  ``di == 0 and dj == 0``, the membership test
     of the full pass.  Layout: the window axis sits in SUBLANE position
     ([A, S, Wn, Lb], beams minor) so Lb = 128k tiles the VPU lanes.
+
+    Returns ``(ranges [A, Lb], overflow bool scalar)``: overflow is True
+    iff some (ego, source, beam) marked usable by ``span_ok`` [A, S]
+    (None = all) needs a span wider than ``Wn`` — the exact condition
+    :func:`laserscan_window_span` diagnoses offline, evaluated in-graph
+    on the same intermediates the window pass already materializes (its
+    arithmetic mirrors that function's, so the two always agree).  When
+    overflow is True the returned ranges are NOT guaranteed bit-identical
+    to the full pass.
     """
     R = LASER_NUM_RANGE_SAMPLES
     cell = cfg.map_grid_cell_size
@@ -244,10 +253,34 @@ def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
     bb = (relx**2 + rely**2)[:, :, None] - t_c**2
     r_out = (jnp.sqrt(rsq_d) + _WINDOW_CELL_SLACK) * cell        # [A, S]
     disc = r_out[:, :, None] ** 2 - bb
-    t_lo = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
+    half_o = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_lo = t_c - half_o
     k0 = jnp.floor(t_lo / res).astype(jnp.int32) - 1             # margin -1
     k0 = jnp.clip(k0, 0, R)
     k0 = jnp.where(disc > 0.0, k0, R)                            # unreachable
+
+    # In-graph overflow guard: the span each (ego, source, beam) NEEDS
+    # for bit-exactness, mirroring :func:`laserscan_window_span`'s
+    # arithmetic on the intermediates already computed above (so the
+    # offline diagnostic and this guard can never disagree).  ~10 extra
+    # elementwise ops on [A, S, Lb] vs the Wn-times-larger window pass —
+    # fuses into the same kernel, no extra HBM traffic.
+    t_hi = t_c + half_o
+    r_in = jnp.maximum(jnp.sqrt(rsq_d) - _WINDOW_CELL_SLACK, 0.0) * cell
+    inner = (r_in**2)[:, :, None] - bb
+    half_i = jnp.sqrt(jnp.maximum(inner, 0.0))
+    t_g = t_c - half_i
+    covered2 = (inner > 0.0) & (t_g + res <= t_c + half_i)
+    t_need = jnp.where(covered2, t_g + res, t_hi)
+    t_max = (R - 1) * res
+    relevant = (disc > 0.0) & (t_hi > 0.0) & (t_lo < t_max)
+    if span_ok is not None:
+        relevant = relevant & span_ok[:, :, None]
+    k0s = jnp.maximum(
+        jnp.floor(jnp.clip(t_lo, 0.0, t_max) / res).astype(jnp.int32) - 1, 0
+    )
+    k1n = jnp.floor(jnp.clip(t_need, 0.0, t_max) / res).astype(jnp.int32) + 1
+    overflow = jnp.any(relevant & (k1n - k0s + 1 > Wn))
 
     # Exact predicate on the window samples (same ops as the full pass:
     # px = pos + rr*cos, i = floor(oi - py/cell), integer deltas).
@@ -289,7 +322,7 @@ def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
     val = jnp.where(
         ans_k >= 0, ans_k.astype(dtype) * res, jnp.asarray(LASER_MAX_RANGE, dtype)
     )
-    return val.astype(dtype)
+    return val.astype(dtype), overflow
 
 
 def _static_cell_sources(static_cells, cfg, dtype):
@@ -414,7 +447,8 @@ def laserscan_wedge_candidate_counts(state, cfg, ego_idx=None, num_blocks=4):
     return jnp.sum(ok, axis=-1)                                 # [A_ego, B]
 
 
-def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
+def laserscan_sparse(state, cfg, static_cells, ego_idx=None,
+                     return_overflow=False):
     """Gather-free laserscan: identical outputs to :func:`laserscan`, but
     occupancy is evaluated *analytically* instead of reading a rasterized
     map — agent discs by the circle-stamp inequality on the sample's cell
@@ -444,9 +478,15 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
         ego_idx: optional static tuple of agent indices to sense FOR
             (per-agent sensor equipage); every agent disc stays in the
             world regardless.  None senses for all agents.
+        return_overflow: when True, also return a scalar bool that is
+            True iff the windowed path (``cfg.laserscan_entry_window``)
+            needed a wider span than configured for THIS state — i.e.
+            the returned ranges may not be bit-identical to the full
+            pass.  Always False when the window is disabled.
 
     Returns:
-        ranges [A_ego, num_beams] in meters (A_ego = len(ego_idx) or A).
+        ranges [A_ego, num_beams] in meters (A_ego = len(ego_idx) or A),
+        or ``(ranges, window_overflow)`` if ``return_overflow``.
     """
     L = cfg.laserscan_length
     dtype = state.pos.dtype
@@ -554,14 +594,18 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
     Wn = cfg.laserscan_entry_window
     use_wedge = C is not None and C < A_o - 1 and L % 128 == 0
 
-    def _windowed(cos_b, sin_b, gi_d, gj_d, rsq_d, cx_d, cy_d):
+    def _windowed(cos_b, sin_b, gi_d, gj_d, rsq_d, cx_d, cy_d,
+                  span_ok=None):
         """Windowed first-two-hits pass over the given per-ego source set
-        (static occupied cells appended as rsq=1 equality sources)."""
+        (static occupied cells appended as rsq=1 equality sources).
+        ``span_ok`` [A, S_agents] masks which agent sources count toward
+        the overflow guard (None = all; pad/empty slots are parked out of
+        analytic reach and self-exclude)."""
+        rows = gi_d.shape[0]
         if static_cells.shape[0] > 0:
             _ci, _cj, rsq_s, cx_s, cy_s = _static_cell_sources(
                 static_cells, cfg, dtype
             )
-            rows = gi_d.shape[0]
 
             def app(a, b):
                 b = jnp.broadcast_to(
@@ -569,14 +613,21 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
                 )
                 return jnp.concatenate([a, b], axis=1)
 
+            if span_ok is None:
+                span_ok = jnp.ones(gi_d.shape, bool)
             gi_d = app(gi_d, static_cells[:, 0].astype(jnp.int32))
             gj_d = app(gj_d, static_cells[:, 1].astype(jnp.int32))
             rsq_d = app(rsq_d, rsq_s)
             cx_d = app(cx_d, cx_s)
             cy_d = app(cy_d, cy_s)
+            # padding rows (-1, -1) map to a real world point just off the
+            # map corner: excluded from the guard (their exact test never
+            # hits — out-of-map samples are erased)
+            span_ok = app(span_ok, static_cells[:, 0] >= 0)
         return _windowed_first_two_hits(
             pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
             gi_d, gj_d, rsq_d, cx_d, cy_d, cfg, H, W, Wn, dtype,
+            span_ok=span_ok,
         )
 
     if not use_wedge:
@@ -584,13 +635,25 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
         gj_all = jnp.broadcast_to(gj[None, :], (A_e, A_o))
         rsq_all = jnp.broadcast_to(r_cells_sq[None, :], (A_e, A_o))
         if Wn is None:
-            return _beam_block_ranges(cos_a, sin_a, gi_all, gj_all, rsq_all)
+            out = _beam_block_ranges(cos_a, sin_a, gi_all, gj_all, rsq_all)
+            return (out, jnp.asarray(False)) if return_overflow else out
         # the ego's own disc stays in the source set: its in_src predicate
         # is literally the in_ego predicate, so its hits always cancel
         cx_all = jnp.broadcast_to(state.pos[:, 0][None, :], (A_e, A_o))
         cy_all = jnp.broadcast_to(state.pos[:, 1][None, :], (A_e, A_o))
-        return _windowed(cos_a, sin_a, gi_all, gj_all, rsq_all,
-                         cx_all.astype(dtype), cy_all.astype(dtype))
+        ego_glob = (
+            jnp.arange(A_o, dtype=jnp.int32)
+            if ego_idx is None
+            else jnp.asarray(ego_idx, jnp.int32)
+        )
+        # the guard skips invalid discs (their gi sentinel kills the exact
+        # test but their cx/cy is a live position) and the ego itself
+        # (always cancelled by in_ego, matching laserscan_window_span)
+        ns = jnp.arange(A_o)[None, :] != ego_glob[:, None]
+        out, ovf = _windowed(cos_a, sin_a, gi_all, gj_all, rsq_all,
+                             cx_all.astype(dtype), cy_all.astype(dtype),
+                             span_ok=disc_valid[None, :] & ns)
+        return (out, ovf) if return_overflow else out
 
     # Wedge-culled path: compact each 128-beam block's candidate discs via
     # the exact-conservative angular screen, then run the blocks through a
@@ -651,16 +714,23 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
         cy_c = jnp.where(occupied, cy_c, 0.0).astype(dtype)
         extras = (jnp.moveaxis(cx_c, 1, 0), jnp.moveaxis(cy_c, 1, 0))
 
-    def block_body(_, x):
+    # wedge-compaction exactness guard: slot overflow (more candidates
+    # than C slots for some (ego, block)) silently drops a real source —
+    # the in-graph twin of :func:`laserscan_wedge_candidate_counts`'s
+    # offline check, one reduce on an array the compaction already built
+    wedge_ovf = jnp.any(jnp.sum(ok, axis=-1, dtype=jnp.int32) > C)
+
+    def block_body(carry, x):
         cos_b, sin_b, gi_cb, gj_cb, rsq_cb, *rest = x
         if Wn is None:
-            return None, _beam_block_ranges(cos_b, sin_b, gi_cb, gj_cb,
-                                            rsq_cb)
-        return None, _windowed(cos_b, sin_b, gi_cb, gj_cb, rsq_cb, *rest)
+            return carry, _beam_block_ranges(cos_b, sin_b, gi_cb, gj_cb,
+                                             rsq_cb)
+        val, ovf = _windowed(cos_b, sin_b, gi_cb, gj_cb, rsq_cb, *rest)
+        return carry | ovf, val
 
-    _, out = jax.lax.scan(
+    ovf, out = jax.lax.scan(
         block_body,
-        None,
+        wedge_ovf,
         (
             cos_blocks,
             sin_blocks,
@@ -670,7 +740,8 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None):
         )
         + extras,
     )                                                            # [B, A, 128]
-    return jnp.moveaxis(out, 0, 1).reshape(A_e, L)
+    ranges = jnp.moveaxis(out, 0, 1).reshape(A_e, L)
+    return (ranges, ovf) if return_overflow else ranges
 
 
 def occupancy_grid(state, cfg, dynamic_map):

@@ -131,6 +131,7 @@ def main(argv=None):
 
     # --- bitwise equality of the post-dispatch state across variants ---
     ref = finals["base"]
+    any_mismatch = False
     for name, _cfg in variants[1:]:
         leaves_ok = jax.tree.map(
             lambda a, b: bool(jnp.array_equal(a, b, equal_nan=True)),
@@ -138,6 +139,7 @@ def main(argv=None):
         ok = all(jax.tree.leaves(leaves_ok))
         print(f"bitwise state match base vs {name}: {ok}")
         if not ok:
+            any_mismatch = True
             bad = [k for k, v in zip(
                 [str(i) for i in range(len(jax.tree.leaves(leaves_ok)))],
                 jax.tree.leaves(leaves_ok)) if not v]
@@ -153,6 +155,10 @@ def main(argv=None):
             st, _ = run(st)
             jax.block_until_ready(st)
         print(f"trace of {best['variant']} written to {args.trace}")
+
+    if any_mismatch:
+        sys.exit("FAIL: a windowed variant's final state differs bitwise "
+                 "from the base path")
 
 
 if __name__ == "__main__":

@@ -31,24 +31,40 @@ def bench_config(name, cfg, scenario, params, num_envs, num_steps,
     active = scenario.active_policies
 
     def body(states, _):
-        states, _o, rew, go, _i = batched_env_step(
+        states, _o, rew, go, info = batched_env_step(
             states, None, cfg, params, active, sensors, ("dist_to_goal",),
             static_map, static_cells,
         )
-        return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)))
+        # laserscan fast-path exactness guard: any True means the benched
+        # trajectory left the regime where the windowed/wedge-culled path
+        # is bit-identical — the run must fail, not publish a number for a
+        # physically divergent simulation
+        ovf = info.get("laserscan_exactness_overflow", jnp.asarray(False))
+        return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)),
+                        jnp.any(ovf))
 
     @jax.jit
     def run(states):
         return jax.lax.scan(body, states, None, length=num_steps)
 
-    states, _ = run(states)
+    def check(metrics):
+        if bool(jnp.any(metrics[2])):
+            raise AssertionError(
+                f"{name}: laserscan exactness overflow — the configured "
+                "laserscan_entry_window/num_candidate_discs is too small "
+                "for this trajectory; the bench would measure a divergent "
+                "simulation")
+
+    states, m = run(states)
     jax.block_until_ready(states)
+    check(m)
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        states, _m = run(states)
+        states, m = run(states)
         jax.block_until_ready(states)
         rates.append(num_envs * num_steps / (time.perf_counter() - t0))
+        check(m)
     rates.sort()
     rate = rates[len(rates) // 2]
     agent_rate = rate * scenario.num_agents

@@ -448,7 +448,7 @@ def test_per_agent_sensors_golden_vs_reference():
     sensors_spec = (("laserscan", (0,)), "other_agents_states")
     for step, pos in enumerate(positions):
         state = state.replace(pos=jnp.asarray(pos))
-        state, obs = step_mod._sense_and_observe(
+        state, obs, _si = step_mod._sense_and_observe(
             state, cfg, sensors_spec,
             ("laserscan", "other_agents_states"), static,
         )
@@ -507,7 +507,7 @@ def test_laserscan_history_roll_matches_reference():
                        radius=radius, pref_speed=np.ones(2), heading=heading)
     for pos in positions:
         state = state.replace(pos=jnp.asarray(pos))
-        state, obs = step_mod._sense_and_observe(
+        state, obs, _si = step_mod._sense_and_observe(
             state, cfg, ("laserscan",), ("laserscan",), static
         )
     np.testing.assert_allclose(
@@ -516,3 +516,107 @@ def test_laserscan_history_roll_matches_reference():
     # the three slots must differ (the agent moved between scans)
     h = np.asarray(state.laserscan_history)[0]
     assert not np.array_equal(h[0], h[2])
+
+
+def test_laserscan_window_overflow_guard():
+    """The in-graph exactness guard (laserscan_sparse(return_overflow=True))
+    must agree with the offline laserscan_window_span diagnostic on the
+    non-wedge windowed path: flag False iff the measured span fits the
+    window — and a too-small window may never silently return ranges, the
+    flag must trip."""
+    import dataclasses
+
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    rng = np.random.RandomState(37)
+    tripped = cleared = 0
+    for trial in range(6):
+        A = 10
+        pos = rng.uniform(-5.5, 5.5, (A, 2))
+        radius = rng.uniform(0.15, 0.6, A)
+        heading = rng.uniform(-np.pi, np.pi, A)
+        state = init_state(cfg, pos=pos, goal=pos + 3, radius=radius,
+                           pref_speed=np.ones(A), heading=heading)
+        span = sensors.laserscan_window_span(state, cfg, cells)
+        full = np.asarray(sensors.laserscan_sparse(state, cfg, cells))
+        for W in (max(2, span - 4), span, span + 2):
+            cfg_w = dataclasses.replace(cfg, laserscan_entry_window=W)
+            win, ovf = sensors.laserscan_sparse(state, cfg_w, cells,
+                                                return_overflow=True)
+            assert bool(ovf) == (span > W), (
+                f"trial {trial} W={W}: guard={bool(ovf)} but span={span}"
+            )
+            if span <= W:
+                np.testing.assert_array_equal(full, np.asarray(win))
+                cleared += 1
+            else:
+                tripped += 1
+    # both branches must have been exercised
+    assert tripped >= 4 and cleared >= 6
+
+
+def test_laserscan_wedge_overflow_guard():
+    """The wedge-compaction slot-overflow guard must trip whenever some
+    (ego, block) has more screened candidates than C slots — the in-graph
+    twin of laserscan_wedge_candidate_counts."""
+    import dataclasses
+
+    cfg = _cfg()
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    rng = np.random.RandomState(41)
+    tripped = cleared = 0
+    for trial in range(6):
+        A = 12
+        pos = rng.uniform(-3.0, 3.0, (A, 2))  # crowded: high wedge counts
+        radius = rng.uniform(0.2, 0.5, A)
+        heading = rng.uniform(-np.pi, np.pi, A)
+        state = init_state(cfg, pos=pos, goal=pos + 3, radius=radius,
+                           pref_speed=np.ones(A), heading=heading)
+        counts = np.asarray(
+            sensors.laserscan_wedge_candidate_counts(state, cfg)
+        )
+        full = np.asarray(sensors.laserscan_sparse(state, cfg, cells))
+        for C in (2, 4, 8):
+            if C >= A - 1:
+                continue
+            cfg_c = dataclasses.replace(cfg, laserscan_num_candidate_discs=C)
+            culled, ovf = sensors.laserscan_sparse(state, cfg_c, cells,
+                                                   return_overflow=True)
+            assert bool(ovf) == (counts.max() > C), (
+                f"trial {trial} C={C}: guard={bool(ovf)} counts_max="
+                f"{counts.max()}"
+            )
+            if counts.max() <= C:
+                np.testing.assert_array_equal(full, np.asarray(culled))
+                cleared += 1
+            else:
+                tripped += 1
+    assert tripped >= 3 and cleared >= 3
+
+
+def test_env_step_surfaces_laserscan_overflow_flag():
+    """env_step's info dict must carry the exactness flag whenever a
+    conditional laserscan fast path is configured."""
+    import dataclasses
+
+    from gym_collision_avoidance_tpu.env.step import env_step
+    from gym_collision_avoidance_tpu.policies import registry as policies
+
+    cfg = dataclasses.replace(_cfg(), laserscan_entry_window=16)
+    static_np = map_grid.load_static_map(cfg, MAP_PNG)
+    cells = jnp.asarray(map_grid.occupied_cell_list(static_np, max_cells=256))
+    A = 4
+    rng = np.random.RandomState(5)
+    pos = rng.uniform(-4.0, 4.0, (A, 2))
+    state = init_state(cfg, pos=pos, goal=pos + 3,
+                       radius=np.full(A, 0.3), pref_speed=np.ones(A),
+                       heading=np.zeros(A))
+    _st, _obs, _rew, _go, info = env_step(
+        state, None, cfg, None, (policies.NONCOOP,),
+        ("laserscan", "other_agents_states"), ("dist_to_goal",),
+        static_map=None, static_cells=cells,
+    )
+    assert "laserscan_exactness_overflow" in info
+    assert not bool(info["laserscan_exactness_overflow"])
