@@ -95,6 +95,17 @@ class EnvConfig:
     # bypass env_step's info (custom rollers) must check the flag
     # themselves; scripts/bench_all.py aborts the run on any overflow.
     laserscan_entry_window: int | None = None
+    # Optional per-BEAM source compaction for the windowed sparse
+    # laserscan (requires laserscan_entry_window): before the window
+    # pass, each beam keeps only the <= Cs sources whose inflated
+    # analytic band the beam's sample range crosses (a source outside
+    # its band can produce no cell-quantized hit — the same argument
+    # that bounds the entry window).  The 20-agent benchmark scenario
+    # never exceeds 4 band-overlapping sources per beam while testing
+    # 9-10 block-level wedge candidates on every beam.  Conditionally
+    # exact like the other two knobs, guarded by the same in-graph
+    # "laserscan_exactness_overflow" flag (slot-count overflow trips it).
+    laserscan_beam_slots: int | None = None
 
     # --- CADRL value-net social norm (CADRLPolicy.py:22-23) ---
     # "none" for the default no_constr net; "right"/"left" activate the

@@ -92,7 +92,10 @@ def occupied_cell_list(static_map: np.ndarray, max_cells: int | None = None) -> 
     ii, jj = np.where(static_map)
     cells = np.stack([ii, jj], axis=1).astype(np.int32)
     if max_cells is None:
-        max_cells = max(1, len(cells))
+        # natural length — including 0 for an empty map: every sparse-path
+        # consumer guards on shape[0] > 0, and an all-padding row would
+        # still cost a full [A, (R|Wn), 1, L] pass in the hot laserscan
+        max_cells = len(cells)
     if len(cells) > max_cells:
         raise ValueError(
             f"static map has {len(cells)} occupied cells > max_cells={max_cells};"

@@ -189,6 +189,17 @@ def _wedge_screen(state, cfg, pos_e, heading_e, ego_global, num_blocks):
 # arithmetic.
 _WINDOW_CELL_SLACK = float(np.sqrt(2.0)) + 0.05
 
+# Axis order of the windowed pass (see _windowed_first_two_hits): True =
+# window axis in sublane position [A, S, Wn, Lb] (pad is a function of W
+# alone), False = round-3 [A, Wn, S, Lb] (sources in sublanes).  Output
+# is bit-identical either way — purely a tiling/performance choice.
+_WN_SUBLANE = False
+
+# Beam-compacted window pass shape (see _windowed_beam_compacted): True
+# folds (slots, window) into one Cs*Wn axis (clean sublane tiling),
+# False keeps [A, Cs, Wn, Lb].  Bit-identical either way.
+_FOLD_CW = False
+
 
 def _two_smallest_distinct(acc, val):
     """Variadic-reduce combiner: each operand pair carries the two smallest
@@ -284,13 +295,29 @@ def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
 
     # Exact predicate on the window samples (same ops as the full pass:
     # px = pos + rr*cos, i = floor(oi - py/cell), integer deltas).
-    # Layout [A, Wn, S, Lb]: the (8, 128)-tiled minor two dims are
-    # (sources, beams) — the compacted candidate count C=8 tiles the
-    # sublanes exactly, while Wn in sublane position padded 12 -> 16.
-    k = (
-        k0[:, None, :, :]
-        + jnp.arange(Wn, dtype=jnp.int32)[None, :, None, None]
-    )                                                            # [A,Wn,S,Lb]
+    # Layout: the (8, 128)-tiled minor two dims are (sublane, beams).
+    # _WN_SUBLANE=True puts the WINDOW axis in sublane position
+    # ([A, S, Wn, Lb]): Wn pads to the next multiple of 8 regardless of
+    # the source count, so a compacted candidate axis of 9-11 sources no
+    # longer pads 11 -> 16 sublanes (45 % dead rows); it also makes any
+    # W <= 16 cost the same tile footprint.  False is the round-3
+    # [A, Wn, S, Lb] order (sources in sublanes).
+    if _WN_SUBLANE:
+        k = (
+            k0[:, :, None, :]
+            + jnp.arange(Wn, dtype=jnp.int32)[None, None, :, None]
+        )                                                        # [A,S,Wn,Lb]
+
+        def srcx(v):                                             # [A, S] ->
+            return v[:, :, None, None]
+    else:
+        k = (
+            k0[:, None, :, :]
+            + jnp.arange(Wn, dtype=jnp.int32)[None, :, None, None]
+        )                                                        # [A,Wn,S,Lb]
+
+        def srcx(v):
+            return v[:, None, :, None]
     valid_k = k < R
     rr = k.astype(dtype) * res                                   # == table[k]
     px = pos_e[:, 0][:, None, None, None] + rr * cos_b[:, None, None, :]
@@ -298,9 +325,9 @@ def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
     ii = jnp.floor(oi - py / cell).astype(jnp.int32)
     jj = jnp.floor(oj + px / cell).astype(jnp.int32)
     in_map = (ii >= 0) & (jj >= 0) & (ii < H) & (jj < W_map)
-    di = ii - gi_d[:, None, :, None]
-    dj = jj - gj_d[:, None, :, None]
-    in_src = di * di + dj * dj < rsq_d[:, None, :, None]
+    di = ii - srcx(gi_d)
+    dj = jj - srcx(gj_d)
+    in_src = di * di + dj * dj < srcx(rsq_d)
     dei = ii - gi_e[:, None, None, None]
     dej = jj - gj_e[:, None, None, None]
     in_ego = dei * dei + dej * dej < rsq_e[:, None, None, None]
@@ -321,6 +348,206 @@ def _windowed_first_two_hits(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
     ans_k = jnp.where(k1 >= BIG, -1, jnp.where(k2 >= BIG, R - 1, k2 - 1))
     val = jnp.where(
         ans_k >= 0, ans_k.astype(dtype) * res, jnp.asarray(LASER_MAX_RANGE, dtype)
+    )
+    return val.astype(dtype), overflow
+
+
+def _windowed_beam_compacted(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
+                             gi_d, gj_d, rsq_d, cx_d, cy_d,
+                             cfg, H, W_map, Wn, dtype, span_ok=None):
+    """Entry windows + per-BEAM source compaction: ranges [A, Lb].
+
+    :func:`_windowed_first_two_hits` tests every (ego, source) pair on
+    every beam of a block, but a beam's sample segment crosses the
+    inflated analytic band of only a few sources (the 20-agent benchmark
+    trajectory peaks at 4 while carrying 9-10 block-level candidates,
+    76 % of beams cross zero).  This variant screens sources per beam
+    first — a source whose band the beam segment does not cross can
+    produce no cell-quantized hit, the same inflation argument that
+    bounds the entry window — and compacts the survivors' per-beam
+    fields (k0, cell center, radius) into ``Cs =
+    cfg.laserscan_beam_slots`` slots by the stable cumsum-rank one-hot
+    trick (no sort/gather).  The window pass then runs on [A, Cs, Wn,
+    Lb] instead of [A, S, Wn, Lb].
+
+    Bit-identical to the uncompacted windowed pass (hence to the full
+    range axis) iff no (ego, beam) ever has more than ``Cs``
+    band-crossing sources AND no needed span exceeds ``Wn``; both
+    conditions feed the returned overflow flag (checked per step via
+    ``env_step`` info).  Returns ``(ranges [A, Lb], overflow scalar)``.
+    """
+    R = LASER_NUM_RANGE_SAMPLES
+    Cs = cfg.laserscan_beam_slots
+    cell = cfg.map_grid_cell_size
+    res = jnp.asarray(LASER_RANGE_RESOLUTION, dtype)
+    oi = (cfg.map_y_width / 2.0) / cell
+    oj = (cfg.map_x_width / 2.0) / cell
+
+    # ---- screen pass over the full source set: [A, S, Lb] ----
+    relx = cx_d - pos_e[:, 0][:, None]                           # [A, S]
+    rely = cy_d - pos_e[:, 1][:, None]
+    t_c = (
+        relx[:, :, None] * cos_b[:, None, :]
+        + rely[:, :, None] * sin_b[:, None, :]
+    )                                                            # [A, S, Lb]
+    bb = (relx**2 + rely**2)[:, :, None] - t_c**2
+    r_out = (jnp.sqrt(rsq_d) + _WINDOW_CELL_SLACK) * cell        # [A, S]
+    disc = r_out[:, :, None] ** 2 - bb
+    half_o = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_lo = t_c - half_o
+    t_hi = t_c + half_o
+    t_max_f = (R - 1) * res
+    # slot screen: conservative superset of "can produce a hit" (note
+    # the non-strict boundary comparisons vs the guard's strict ones)
+    rel = (disc > 0.0) & (t_hi >= 0.0) & (t_lo <= t_max_f)
+    if span_ok is not None:
+        rel = rel & span_ok[:, :, None]
+    # same k0 arithmetic as the uncompacted kernel (bit-for-bit)
+    k0 = jnp.clip(jnp.floor(t_lo / res).astype(jnp.int32) - 1, 0, R)
+
+    # exactness guards: window span (mirrors laserscan_window_span) and
+    # per-beam slot count
+    r_in = jnp.maximum(jnp.sqrt(rsq_d) - _WINDOW_CELL_SLACK, 0.0) * cell
+    inner = (r_in**2)[:, :, None] - bb
+    half_i = jnp.sqrt(jnp.maximum(inner, 0.0))
+    t_g = t_c - half_i
+    covered2 = (inner > 0.0) & (t_g + res <= t_c + half_i)
+    t_need = jnp.where(covered2, t_g + res, t_hi)
+    # k0s (the span diagnostic's window start) equals the k0 computed
+    # above wherever guard_rel holds (0 <= t_lo < t_max there modulo the
+    # shared clamping), so the extra f32 division is dropped
+    k1n = jnp.floor(
+        jnp.clip(t_need, 0.0, t_max_f) / res
+    ).astype(jnp.int32) + 1
+    guard_rel = rel & (t_hi > 0.0) & (t_lo < t_max_f)
+    overflow = jnp.any(guard_rel & (k1n - k0 + 1 > Wn))
+    overflow = overflow | jnp.any(
+        jnp.sum(rel, axis=1, dtype=jnp.int32) > Cs
+    )
+
+    # ---- compact the survivors to Cs slots per beam ----
+    # Four separate per-field reduces measure FASTER than the obvious
+    # consolidations on v5e: a variadic 4-tuple lax.reduce lost ~8 %
+    # end-to-end, and materializing the slot key behind an
+    # optimization_barrier (to stop each reduce re-deriving the cumsum
+    # chain) lost ~3 % — XLA's cloned screen fusions schedule better
+    # than either.  Best of all (when the shapes fit) is ONE reduce of a
+    # bit-packed field word — see below.
+    slot = jnp.cumsum(rel.astype(jnp.int32), axis=1) - 1         # [A, S, Lb]
+    onehot = rel[:, None, :, :] & (
+        slot[:, None, :, :]
+        == jnp.arange(Cs, dtype=jnp.int32)[None, :, None, None]
+    )                                                            # [A,Cs,S,Lb]
+
+    def compact(v):
+        """[A, 1|Cs, S, Lb]-broadcastable -> [A, Cs, Lb]; one term per
+        slot, so integer/float sums are exact (dtype pinned: jnp.sum
+        would promote int32 -> int64 under x64)."""
+        return jnp.sum(jnp.where(onehot, v, 0), axis=2, dtype=v.dtype)
+
+    # The radius test `di^2 + dj^2 < rsq` (int vs f32) is equivalent to
+    # the pure-int test against irsq = floor(rsq) + (rsq > floor(rsq)):
+    # for integers i, i < rsq  <=>  i < ceil(rsq) (rsq fractional) and
+    # i < rsq (rsq integral) — exact, no rounding involved.
+    irsq = (jnp.floor(rsq_d) + (rsq_d > jnp.floor(rsq_d))).astype(jnp.int32)
+    can_pack = H <= 512 and W_map <= 512 and R <= 63
+    if can_pack:
+        # k0(6b, <<24) | irsq(6b, <<18) | gi(9b, <<9) | gj(9b) = 30 bits.
+        # irsq's 6 bits cover radii up to ~0.79 m on a 0.1 m grid (the
+        # reference's agents are <= 0.5 m); a larger disc is clamped —
+        # which could only shrink it — AND trips the exactness-overflow
+        # flag, so it can never silently change results.
+        overflow = overflow | jnp.any(rel & (irsq > 63)[:, :, None])
+        irsq_p = jnp.minimum(irsq, 63)
+        packed = (
+            (k0 << 24)
+            | (irsq_p[:, :, None] << 18)
+            | (gi_d.astype(jnp.int32)[:, :, None] << 9)
+            | gj_d.astype(jnp.int32)[:, :, None]
+        )                                                        # [A, S, Lb]
+        p_c = compact(packed[:, None, :, :])                     # [A,Cs,Lb]
+        k0_c = p_c >> 24
+        rsq_c = (p_c >> 18) & 63
+        gi_c = (p_c >> 9) & 511
+        gj_c = p_c & 511
+    else:
+        k0_c = compact(k0[:, None, :, :])
+        gi_c = compact(gi_d.astype(jnp.int32)[:, None, :, None])
+        gj_c = compact(gj_d.astype(jnp.int32)[:, None, :, None])
+        # empty slots: rsq 0 makes the integer disc test unsatisfiable
+        rsq_c = compact(irsq[:, None, :, None])
+
+    # ---- window pass on the compacted slots ----
+    A_e, _, Lb = k0_c.shape
+    if _FOLD_CW:
+        # fold (Cs, Wn) into one axis of Cs*Wn: the [A, Cs, Wn, Lb]
+        # shape puts Wn in sublane position where Wn=12 pads to 16 (33 %
+        # dead rows); the folded axis is a multiple of 4 and tiles clean
+        CW = Cs * Wn
+        w_of = jnp.arange(CW, dtype=jnp.int32) % Wn              # [CW]
+
+        def fold(v):                                             # [A,Cs,Lb]
+            return jnp.broadcast_to(
+                v[:, :, None, :], (A_e, Cs, Wn, Lb)
+            ).reshape(A_e, CW, Lb)
+
+        k = fold(k0_c) + w_of[None, :, None]
+        gi_w, gj_w, rsq_w = fold(gi_c), fold(gj_c), fold(rsq_c)
+        pos_x = pos_e[:, 0][:, None, None]
+        pos_y = pos_e[:, 1][:, None, None]
+        cos_w = cos_b[:, None, :]
+        sin_w = sin_b[:, None, :]
+        gi_ew = gi_e[:, None, None]
+        gj_ew = gj_e[:, None, None]
+        rsq_ew = rsq_e[:, None, None]
+        red_axes = (1,)
+    else:
+        k = (
+            k0_c[:, :, None, :]
+            + jnp.arange(Wn, dtype=jnp.int32)[None, None, :, None]
+        )                                                        # [A,Cs,Wn,Lb]
+        gi_w = gi_c[:, :, None, :]
+        gj_w = gj_c[:, :, None, :]
+        rsq_w = rsq_c[:, :, None, :]
+        pos_x = pos_e[:, 0][:, None, None, None]
+        pos_y = pos_e[:, 1][:, None, None, None]
+        cos_w = cos_b[:, None, None, :]
+        sin_w = sin_b[:, None, None, :]
+        gi_ew = gi_e[:, None, None, None]
+        gj_ew = gj_e[:, None, None, None]
+        rsq_ew = rsq_e[:, None, None, None]
+        red_axes = (1, 2)
+    # NOTE two exact strength reductions vs the uncompacted kernel:
+    # - no `k < R` mask: a "hit" at k >= R yields idx = k >= BIG = R,
+    #   which the two-smallest reduce and the ans_k >= BIG tests already
+    #   treat as a miss;
+    # - in_map via unsigned compares: 0 <= i < H  <=>  (u32)i < H.
+    rr = k.astype(dtype) * res
+    px = pos_x + rr * cos_w
+    py = pos_y + rr * sin_w
+    ii = jnp.floor(oi - py / cell).astype(jnp.int32)
+    jj = jnp.floor(oj + px / cell).astype(jnp.int32)
+    in_map = (ii.astype(jnp.uint32) < H) & (jj.astype(jnp.uint32) < W_map)
+    di = ii - gi_w
+    dj = jj - gj_w
+    in_src = di * di + dj * dj < rsq_w
+    dei = ii - gi_ew
+    dej = jj - gj_ew
+    in_ego = dei * dei + dej * dej < rsq_ew
+    hit = in_src & ~in_ego & in_map
+
+    BIG = R
+    idx = jnp.where(hit, k, BIG)
+    k1, k2 = jax.lax.reduce(
+        (idx, jnp.full_like(idx, BIG)),
+        (jnp.int32(BIG), jnp.int32(BIG)),
+        _two_smallest_distinct,
+        red_axes,
+    )                                                            # [A, Lb]
+    ans_k = jnp.where(k1 >= BIG, -1, jnp.where(k2 >= BIG, R - 1, k2 - 1))
+    val = jnp.where(
+        ans_k >= 0, ans_k.astype(dtype) * res,
+        jnp.asarray(LASER_MAX_RANGE, dtype)
     )
     return val.astype(dtype), overflow
 
@@ -592,6 +819,10 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None,
 
     C = cfg.laserscan_num_candidate_discs
     Wn = cfg.laserscan_entry_window
+    if cfg.laserscan_beam_slots is not None and Wn is None:
+        raise ValueError(
+            "cfg.laserscan_beam_slots requires cfg.laserscan_entry_window"
+        )
     use_wedge = C is not None and C < A_o - 1 and L % 128 == 0
 
     def _windowed(cos_b, sin_b, gi_d, gj_d, rsq_d, cx_d, cy_d,
@@ -624,7 +855,10 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None,
             # map corner: excluded from the guard (their exact test never
             # hits — out-of-map samples are erased)
             span_ok = app(span_ok, static_cells[:, 0] >= 0)
-        return _windowed_first_two_hits(
+        kern = (_windowed_beam_compacted
+                if cfg.laserscan_beam_slots is not None
+                else _windowed_first_two_hits)
+        return kern(
             pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
             gi_d, gj_d, rsq_d, cx_d, cy_d, cfg, H, W, Wn, dtype,
             span_ok=span_ok,

@@ -20,9 +20,15 @@ from gym_collision_avoidance_tpu.models import ga3c_cadrl
 from gym_collision_avoidance_tpu.scenarios import presets
 
 E, S = 256, 32
+_C = int(sys.argv[1]) if len(sys.argv) > 1 else None
+_W = int(sys.argv[2]) if len(sys.argv) > 2 else None
+_S = int(sys.argv[3]) if len(sys.argv) > 3 else None
 cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
                 agent_sorting_method="closest_last", use_static_map=True,
-                map_x_width=20.0, map_y_width=20.0)
+                map_x_width=20.0, map_y_width=20.0,
+                laserscan_num_candidate_discs=_C or None,
+                laserscan_entry_window=_W or None,
+                laserscan_beam_slots=_S or None)
 sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3, policy="GA3C_CADRL")
 params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
 static_np = map_grid.load_static_map(cfg, None)
