@@ -46,12 +46,15 @@ REFERENCE_CPU_STEPS_PER_SEC = 1438.0
 # metric.  NN-policy rows use serving-scale dispatches (S=1024, the
 # headline's measured sweet spot): at S=128 the axon tunnel's ~28-35 ms
 # per-dispatch host overhead clamps ga3c4 to ~3.4e6 when the device-side
-# rate is ~10e6 (round-3 trace, PERF.md).  The laser row stays at S=128 —
-# its dispatches are seconds long already (device-bound).
+# rate is ~10e6 (round-3 trace, PERF.md).  The laser row moved to S=512
+# in round 4: the beam-compacted kernel is ~3.5x faster, so a S=128
+# dispatch (0.33 s) pays ~10 % tunnel overhead where S=512 pays ~2.5 %
+# (97.9k vs 111.3k, ab_laser_r4.py); the in-graph exactness guard
+# validates the longer trajectory every step.
 PROFILE_ROWS = (
     ("ga3c4", "bench_ga3c4", (8192, 1024)),
     ("cadrl4", "bench_cadrl4", (8192, 1024)),
-    ("ga3c20_laser", "bench_ga3c20_laser", (4096, 128)),
+    ("ga3c20_laser", "bench_ga3c20_laser", (4096, 512)),
     ("ppo_train", "bench_ppo_train", (4096, 128)),
 )
 

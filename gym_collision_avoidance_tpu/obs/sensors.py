@@ -372,9 +372,14 @@ def _windowed_beam_compacted(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
 
     Bit-identical to the uncompacted windowed pass (hence to the full
     range axis) iff no (ego, beam) ever has more than ``Cs``
-    band-crossing sources AND no needed span exceeds ``Wn``; both
+    band-crossing sources AND no needed span exceeds ``Wn``.  Both
     conditions feed the returned overflow flag (checked per step via
-    ``env_step`` info).  Returns ``(ranges [A, Lb], overflow scalar)``.
+    ``env_step`` info); the span condition is guarded by a closed-form
+    per-source bound (see the inline derivation) that is conservative —
+    it can trip for a trajectory whose exact per-beam spans all fit
+    (size ``Wn`` offline with :func:`laserscan_window_span`, whose exact
+    check this bound dominates), but can never pass an unsafe one.
+    Returns ``(ranges [A, Lb], overflow scalar)``.
     """
     R = LASER_NUM_RANGE_SAMPLES
     Cs = cfg.laserscan_beam_slots
@@ -405,45 +410,41 @@ def _windowed_beam_compacted(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
     # same k0 arithmetic as the uncompacted kernel (bit-for-bit)
     k0 = jnp.clip(jnp.floor(t_lo / res).astype(jnp.int32) - 1, 0, R)
 
-    # exactness guards: window span (mirrors laserscan_window_span) and
-    # per-beam slot count
+    # Window-span exactness guard via a closed-form PER-SOURCE bound —
+    # no beam axis (the exact per-beam span check cloned the whole
+    # screen chain into a second full-size fusion, ~9 % of the step).
+    # Derivation: the needed span is t_need - t_lo where t_need = t_g +
+    # res (deflated disc pierced for a full sample) or t_hi (grazing).
+    # Piercing: half_o - half_i + res is increasing in bb and covered2
+    # requires 2*half_i >= res, so at the boundary half_i = res/2,
+    # half_o = sqrt(r_out^2 - r_in^2 + res^2/4)  =>  delta <=
+    # sqrt(r_out^2 - r_in^2 + res^2/4) + res/2.  Grazing: 2*half_o with
+    # bb > r_in^2 - res^2/4  =>  delta <= 2*sqrt(r_out^2 - r_in^2 +
+    # res^2/4).  The second dominates.  In samples (k0 = floor(t_lo/res)
+    # - 1 clipped, k1n = floor(t_need/res) + 1): span <= floor(delta/
+    # res) + 4; the extra res/2 margin absorbs f32 rounding of the bound
+    # itself without changing any integer value reachable by the
+    # reference's radii.  Conservative: may trip for a scenario whose
+    # actual per-beam spans all fit (use laserscan_window_span to size W
+    # offline); can never pass a scenario that needs a wider window.
     r_in = jnp.maximum(jnp.sqrt(rsq_d) - _WINDOW_CELL_SLACK, 0.0) * cell
-    inner = (r_in**2)[:, :, None] - bb
-    half_i = jnp.sqrt(jnp.maximum(inner, 0.0))
-    t_g = t_c - half_i
-    covered2 = (inner > 0.0) & (t_g + res <= t_c + half_i)
-    t_need = jnp.where(covered2, t_g + res, t_hi)
-    # k0s (the span diagnostic's window start) equals the k0 computed
-    # above wherever guard_rel holds (0 <= t_lo < t_max there modulo the
-    # shared clamping), so the extra f32 division is dropped
-    k1n = jnp.floor(
-        jnp.clip(t_need, 0.0, t_max_f) / res
-    ).astype(jnp.int32) + 1
-    guard_rel = rel & (t_hi > 0.0) & (t_lo < t_max_f)
-    overflow = jnp.any(guard_rel & (k1n - k0 + 1 > Wn))
-    overflow = overflow | jnp.any(
-        jnp.sum(rel, axis=1, dtype=jnp.int32) > Cs
-    )
+    dmax = 2.0 * jnp.sqrt(
+        jnp.maximum(r_out**2 - r_in**2, 0.0) + (res / 2.0) ** 2
+    )                                                            # [A, S]
+    span_bound = jnp.floor((dmax + res / 2.0) / res).astype(jnp.int32) + 4
+    src_used = rsq_d > 0
+    if span_ok is not None:
+        src_used = src_used & span_ok
+    span_overflow = jnp.any(src_used & (span_bound > Wn))
 
     # ---- compact the survivors to Cs slots per beam ----
-    # Four separate per-field reduces measure FASTER than the obvious
-    # consolidations on v5e: a variadic 4-tuple lax.reduce lost ~8 %
-    # end-to-end, and materializing the slot key behind an
-    # optimization_barrier (to stop each reduce re-deriving the cumsum
-    # chain) lost ~3 % — XLA's cloned screen fusions schedule better
-    # than either.  Best of all (when the shapes fit) is ONE reduce of a
-    # bit-packed field word — see below.
+    # Measured design notes (v5e): four separate per-field reduces beat
+    # a variadic 4-tuple lax.reduce (-8 %) and beat materializing the
+    # slot key behind an optimization_barrier (-3 %); ONE reduce of a
+    # bit-packed field word beats them all (+9 %); folding the guards
+    # into the same reduce as probe rows removes the separate any-reduce
+    # that cloned the entire screen chain into a second full-size fusion.
     slot = jnp.cumsum(rel.astype(jnp.int32), axis=1) - 1         # [A, S, Lb]
-    onehot = rel[:, None, :, :] & (
-        slot[:, None, :, :]
-        == jnp.arange(Cs, dtype=jnp.int32)[None, :, None, None]
-    )                                                            # [A,Cs,S,Lb]
-
-    def compact(v):
-        """[A, 1|Cs, S, Lb]-broadcastable -> [A, Cs, Lb]; one term per
-        slot, so integer/float sums are exact (dtype pinned: jnp.sum
-        would promote int32 -> int64 under x64)."""
-        return jnp.sum(jnp.where(onehot, v, 0), axis=2, dtype=v.dtype)
 
     # The radius test `di^2 + dj^2 < rsq` (int vs f32) is equivalent to
     # the pure-int test against irsq = floor(rsq) + (rsq > floor(rsq)):
@@ -456,8 +457,7 @@ def _windowed_beam_compacted(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
         # irsq's 6 bits cover radii up to ~0.79 m on a 0.1 m grid (the
         # reference's agents are <= 0.5 m); a larger disc is clamped —
         # which could only shrink it — AND trips the exactness-overflow
-        # flag, so it can never silently change results.
-        overflow = overflow | jnp.any(rel & (irsq > 63)[:, :, None])
+        # flag below, so it can never silently change results.
         irsq_p = jnp.minimum(irsq, 63)
         packed = (
             (k0 << 24)
@@ -465,12 +465,43 @@ def _windowed_beam_compacted(pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
             | (gi_d.astype(jnp.int32)[:, :, None] << 9)
             | gj_d.astype(jnp.int32)[:, :, None]
         )                                                        # [A, S, Lb]
-        p_c = compact(packed[:, None, :, :])                     # [A,Cs,Lb]
+        # slot-count guard probe riding the same reduce: one extra
+        # onehot row (rank Cs) holds the (Cs+1)-th relevant source's
+        # packed word — nonzero iff some beam overflows its slots (a
+        # relevant source's word is never 0 because its radius > 0
+        # forces irsq_p >= 1).  A plain axis extension, NOT a
+        # concatenate: concatenating a separate guard row broke the
+        # fusion and cost 30 % end-to-end.
+        onehot = rel[:, None, :, :] & (
+            slot[:, None, :, :]
+            == jnp.arange(Cs + 1, dtype=jnp.int32)[None, :, None, None]
+        )                                                        # [A,Cs+1,S,Lb]
+        red = jnp.sum(
+            jnp.where(onehot, packed[:, None, :, :], 0),
+            axis=2, dtype=jnp.int32,
+        )                                                        # [A,Cs+1,Lb]
+        p_c = red[:, :Cs]
+        overflow = span_overflow | jnp.any(red[:, Cs] != 0)
+        overflow = overflow | jnp.any(src_used & (irsq > 63))
         k0_c = p_c >> 24
         rsq_c = (p_c >> 18) & 63
         gi_c = (p_c >> 9) & 511
         gj_c = p_c & 511
     else:
+        onehot = rel[:, None, :, :] & (
+            slot[:, None, :, :]
+            == jnp.arange(Cs, dtype=jnp.int32)[None, :, None, None]
+        )                                                        # [A,Cs,S,Lb]
+
+        def compact(v):
+            """[A, 1|Cs, S, Lb]-broadcastable -> [A, Cs, Lb]; one term
+            per slot, so integer sums are exact (dtype pinned: jnp.sum
+            would promote int32 -> int64 under x64)."""
+            return jnp.sum(jnp.where(onehot, v, 0), axis=2, dtype=v.dtype)
+
+        overflow = span_overflow | jnp.any(
+            jnp.sum(rel, axis=1, dtype=jnp.int32) > Cs
+        )
         k0_c = compact(k0[:, None, :, :])
         gi_c = compact(gi_d.astype(jnp.int32)[:, None, :, None])
         gj_c = compact(gj_d.astype(jnp.int32)[:, None, :, None])

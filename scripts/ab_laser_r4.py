@@ -105,6 +105,9 @@ def main(argv=None):
         ("C12W12L0", 12, 12, False),
         # per-beam source compaction (4th field = beam slots)
         ("C9W12S4", 9, 12, False, 4),
+        ("C8W12S4", 8, 12, False, 4),
+        ("C10W12S4", 10, 12, False, 4),
+        ("C9W12S4E512", 9, 12, False, 4),
         ("C9W12S5", 9, 12, False, 5),
         ("C9W12S6", 9, 12, False, 6),
         ("CnoneW12S5", None, 12, False, 5),

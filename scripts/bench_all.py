@@ -235,16 +235,22 @@ def bench_ga3c20_laser(E, S):
     from gym_collision_avoidance_tpu.models import ga3c_cadrl
     from gym_collision_avoidance_tpu.scenarios import presets
 
-    # laserscan_entry_window=14: per-(ego, source) first-two-hit windows
-    # around each source's analytic entry sample — bit-identical while the
-    # trajectory's window span stays <= 14 (this scenario peaks at 12 over
-    # 512 steps; validated bitwise at full scale by
-    # scripts/ab_laser_window.py: 31.5k -> 58.7k env-steps/s).
+    # laserscan_entry_window=12: per-(ego, source) first-two-hit windows
+    # around each source's analytic entry sample (the trajectory's span
+    # peaks at 12); laserscan_beam_slots=4: per-beam source compaction
+    # (the trajectory's per-beam band-overlap count peaks at 4).  Both
+    # conditionally exact; the in-graph exactness guard aborts the bench
+    # on any violation (bench_config's check), so a --steps long enough
+    # to leave the validated regime fails loudly instead of benching a
+    # divergent simulation.  Round-4 A/B trail (ab_laser_r4.py):
+    # 31.5k (full axis) -> 58.7k (W=14 r3) -> 92k (W=12, C=9, slots=4,
+    # packed single-reduce compaction), all bitwise-identical.
     cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
                     agent_sorting_method="closest_last", use_static_map=True,
                     map_x_width=20.0, map_y_width=20.0,
-                    laserscan_num_candidate_discs=10,
-                    laserscan_entry_window=14)
+                    laserscan_num_candidate_discs=9,
+                    laserscan_entry_window=12,
+                    laserscan_beam_slots=4)
     sc = presets.circle_scenario(20, radius=8.0, agent_radius=0.3,
                                  policy="GA3C_CADRL")
     params = {"ga3c_cadrl": ga3c_cadrl.load_params()}

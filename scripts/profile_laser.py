@@ -41,11 +41,15 @@ sensors = ("other_agents_states", "laserscan")
 
 
 def body(states, _):
-    states, _o, rew, go, _i = batched_env_step(
+    states, _o, rew, go, info = batched_env_step(
         states, None, cfg, params, active, sensors, ("dist_to_goal",),
         None, cells,
     )
-    return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)))
+    # consume the exactness flag so the traced graph matches the shipped
+    # serving loop (an unused flag would be DCE'd out of the profile)
+    ovf = info.get("laserscan_exactness_overflow", jnp.asarray(False))
+    return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)),
+                    jnp.any(ovf))
 
 
 @jax.jit
