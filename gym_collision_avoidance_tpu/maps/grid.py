@@ -19,6 +19,21 @@ import numpy as np
 from gym_collision_avoidance_tpu.config import EnvConfig
 
 
+def world_map_path(name: str) -> str:
+    """Path of a vendored world-map PNG (the reference's
+    envs/world_maps/{000,001,002}.png, shipped here as package data so a
+    static-map user needs no reference checkout)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "world_maps",
+        name if name.endswith(".png") else name + ".png",
+    )
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no vendored world map {name!r} at {path}")
+    return path
+
+
 def load_static_map(cfg: EnvConfig, map_filename: str | None = None) -> np.ndarray:
     """Host-side: build the [H, W] bool static map (Map.py:12-21).
 

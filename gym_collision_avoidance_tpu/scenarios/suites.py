@@ -3,8 +3,12 @@
 * :func:`preset_test_cases` — the hard-coded small suites and the frozen
   500-case pickled suites per agent count (``envs/test_cases.py:593-918``;
   pickles at ``envs/test_cases/{N}_agents_500_cases.p``).  The pickles are
-  loaded directly from the (read-only) reference checkout — they are frozen
-  benchmark *data*, regenerable with ``scripts/regenerate_suites.py``.
+  frozen benchmark *data* vendored as package data under
+  ``scenarios/test_cases/`` (byte-identical to the reference
+  distribution's, which ships them the same way — ``setup.py:17-36``;
+  they are historical seeded-np.random output and not regenerable from
+  the current ``__main__``, only the *seeded* CARRL variants are —
+  ``scripts/regenerate_suites.py``, ``tests/test_scenarios.py``).
 * :func:`formation_goals` — the C/A/D/R/L letter formations
   (``envs/test_cases.py:425-492``).
 """
@@ -23,10 +27,35 @@ from gym_collision_avoidance_tpu.scenarios.presets import (
     preset_two_agent_cases,
 )
 
-REFERENCE_TEST_CASE_DIR = os.environ.get(
-    "GCA_TPU_TEST_CASE_DIR",
-    "/root/reference/gym_collision_avoidance/envs/test_cases",
+# Suite-pickle search order: explicit env override, then the vendored
+# package data (the self-contained default), then a reference checkout
+# if one happens to exist (kept last so a stale checkout can never
+# shadow the vendored data).
+_VENDORED_TEST_CASE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "test_cases"
 )
+_TEST_CASE_DIRS = tuple(
+    d
+    for d in (
+        os.environ.get("GCA_TPU_TEST_CASE_DIR"),
+        _VENDORED_TEST_CASE_DIR,
+        "/root/reference/gym_collision_avoidance/envs/test_cases",
+    )
+    if d
+)
+REFERENCE_TEST_CASE_DIR = _TEST_CASE_DIRS[0]
+
+
+def _resolve_suite_file(relpath: str, test_case_dir: Optional[str]) -> str:
+    """Find ``relpath`` under the explicit dir or the search path."""
+    dirs = (test_case_dir,) if test_case_dir else _TEST_CASE_DIRS
+    for d in dirs:
+        candidate = os.path.join(d, relpath)
+        if os.path.exists(candidate):
+            return candidate
+    raise FileNotFoundError(
+        f"suite pickle {relpath!r} not found under any of {dirs}"
+    )
 
 
 def load_full_test_suite(
@@ -36,7 +65,7 @@ def load_full_test_suite(
     radius_bounds=None,
     carrl: bool = False,
     seed: Optional[int] = None,
-    test_case_dir: str = REFERENCE_TEST_CASE_DIR,
+    test_case_dir: Optional[str] = None,
 ) -> List[np.ndarray]:
     """Load a frozen pickled suite (preset_testCases full_test_suite branch,
     envs/test_cases.py:601-624).  Returns a list of [A, 6] arrays."""
@@ -45,14 +74,14 @@ def load_full_test_suite(
         if vpref_constraint
         else ""
     )
-    filename = os.path.join(
-        test_case_dir,
-        f"{pref_speed_string}{num_agents}_agents_{num_test_cases}_cases.p",
+    relpath = (
+        f"{pref_speed_string}{num_agents}_agents_{num_test_cases}_cases.p"
     )
     if carrl:
-        filename = filename[:-2] + "_carrl" + filename[-2:]
+        relpath = relpath[:-2] + "_carrl" + relpath[-2:]
     if seed is not None:
-        filename = filename[:-2] + "_seed" + str(seed).zfill(3) + filename[-2:]
+        relpath = relpath[:-2] + "_seed" + str(seed).zfill(3) + relpath[-2:]
+    filename = _resolve_suite_file(relpath, test_case_dir)
     with open(filename, "rb") as f:
         return pickle.load(f, encoding="latin1")
 

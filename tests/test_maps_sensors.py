@@ -11,7 +11,11 @@ from gym_collision_avoidance_tpu.obs import sensors
 
 from tests.oracle import refsim
 
-MAP_PNG = "/root/reference/gym_collision_avoidance/envs/world_maps/002.png"
+from gym_collision_avoidance_tpu.maps.grid import world_map_path
+
+# vendored package copy, byte-identical to the reference's
+# envs/world_maps/002.png (asserted in test_world_map_vendored)
+MAP_PNG = world_map_path("002")
 
 
 # The world_maps PNGs are 100x100; use a 10x10 m / 0.1 m map so neither side
@@ -98,6 +102,20 @@ def test_wall_collisions_match():
     )
     np.testing.assert_array_equal(np.asarray(ours), np.array(ref_hits))
     assert any(ref_hits) and not all(ref_hits)
+
+
+def test_world_map_vendored():
+    # package self-containment: the vendored world maps are byte-identical
+    # to the reference distribution's envs/world_maps/*.png
+    import os
+
+    ref_dir = "/root/reference/gym_collision_avoidance/envs/world_maps"
+    for name in ("000", "001", "002"):
+        p = world_map_path(name)
+        assert os.path.exists(p)
+        ref = os.path.join(ref_dir, name + ".png")
+        if os.path.exists(ref):
+            assert open(p, "rb").read() == open(ref, "rb").read()
 
 
 def test_laserscan_matches_reference():
