@@ -102,8 +102,11 @@ POLICY_SPECS: Dict[str, PolicySpec] = {
         max_num_other_agents_observed=3,
         needs_params=("ga3c_cadrl:ppo_selfplay_10agent_curr",),
     ),
-    # the same curriculum re-trained end-to-end ON THE TPU CHIP in ~8 min
-    # (scripts/train_curriculum.sh; RESULTS.md "TPU-trained curriculum")
+    # the 6-stage curriculum trained end-to-end ON THE TPU CHIP in ~10
+    # min (scripts/train_curriculum.sh, seed 1; RESULTS.md "TPU-trained
+    # curriculum"): above the CPU flagship at 2/5/6/8/10 agents and
+    # above the reference's IROS18 checkpoint at 4/6/8/10 (98.0/96.6%
+    # success at 8/10 vs the paper net's 97.2/96.0)
     "PPO-selfplay-10agent-TPU": PolicySpec(
         policy_id=policies.GA3C_CADRL,
         agent_sorting_method="closest_first",

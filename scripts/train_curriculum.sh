@@ -1,27 +1,41 @@
 #!/bin/bash
-# The 5-stage self-play curriculum (RESULTS.md runs C->E->F->G->H recipe),
-# end-to-end on whatever accelerator JAX sees.  Hyperparameters match the
-# round-2 CPU curriculum: 600-iteration stages, E=256 envs, horizon 64,
-# shaping 0.1, suite-matched pool (side 4.0), stage order 2->4->4->6->10
-# agents, each stage warm-started from the previous stage's net with a
-# fresh optimizer (train_ppo.py --init-params).
+# The 6-stage self-play curriculum, end-to-end on whatever accelerator
+# JAX sees.  Stages 1-5 match the round-2 CPU recipe (RESULTS.md runs
+# C->E->F->G->H): 600-iteration stages, E=256 envs, horizon 64, shaping
+# 0.1, suite-matched pool (side 4.0), stage order 2->4->4->6->10 agents,
+# each stage warm-started from the previous stage's net with a fresh
+# optimizer (train_ppo.py --init-params).  Stage 6 (round 4) spends the
+# TPU's cheap minutes where the CPU recipe could not: a second 10-agent
+# stage at doubled batch (E=512) and 900 iterations (+29.5M env-steps,
+# ~115 s on the chip) — it lifted 8/10-agent suite success from
+# 95.2/95.2 to 98.0/96.6, past both the CPU flagship (96.8/95.8) and
+# the reference's IROS18 checkpoint (97.2/96.0).  RESULTS.md
+# "TPU-trained curriculum".
 #
-# Measured (PERF.md): full curriculum = 49M env-steps, ~8 min wall on one
-# TPU v5e chip (~4.5 h on this machine's CPU).  The shipped
-# models/weights/ppo_selfplay_10agent_tpu.npz is the stage-5 output of
-# this exact script on the chip.
+# Measured (PERF.md): stages 1-5 = 49M env-steps in ~8 min wall on one
+# TPU v5e chip; the full 6-stage recipe = 78.5M env-steps in ~10 min.
+# The shipped models/weights/ppo_selfplay_10agent_tpu.npz is the stage-6
+# output of this exact script with SEED=1 (the seeded-replicate table in
+# RESULTS.md records the seed-0 and seed-1 stage-5 samples).
 set -e
 cd "$( dirname "${BASH_SOURCE[0]}" )/.."
 D=${1:-results/tpu_curriculum}
+SEED=${2:-0}
 mkdir -p "$D"
-COMMON="--arch ga3c --self-play --envs 256 --horizon 64 --iters 600 --shaping 0.1 --pool-side 4.0"
+COMMON="--arch ga3c --self-play --horizon 64 --shaping 0.1 --pool-side 4.0 --seed $SEED"
 T0=$(date +%s)
-for spec in "1 2 " "2 4 $D/stage1_2ag.npz" "3 4 $D/stage2_4ag.npz" "4 6 $D/stage3_4ag.npz" "5 10 $D/stage4_6ag.npz"; do
-  set -- $spec; N=$1; A=$2; INIT=$3
+#         stage agents envs iters init
+for spec in "1 2 256 600 " \
+            "2 4 256 600 $D/stage1_2ag.npz" \
+            "3 4 256 600 $D/stage2_4ag.npz" \
+            "4 6 256 600 $D/stage3_4ag.npz" \
+            "5 10 256 600 $D/stage4_6ag.npz" \
+            "6 10 512 900 $D/stage5_10ag.npz"; do
+  set -- $spec; N=$1; A=$2; E=$3; I=$4; INIT=$5
   if [ -f "$D/stage${N}_${A}ag.npz" ]; then echo "STAGE $N done, skip"; continue; fi
   S0=$(date +%s)
   if [ -n "$INIT" ]; then IP="--init-params $INIT"; else IP=""; fi
-  python scripts/train_ppo.py $COMMON --agents $A $IP \
+  python scripts/train_ppo.py $COMMON --agents $A --envs $E --iters $I $IP \
       --export-params "$D/stage${N}_${A}ag.npz"
   echo "STAGE $N (${A}ag) wall: $(( $(date +%s) - S0 ))s"
 done

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env axis over this many devices")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training RNG seed (init + rollout streams; the "
+                         "scenario pool keeps its own fixed seed so "
+                         "replicates train on the identical task "
+                         "distribution)")
     ap.add_argument("--shaping", type=float, default=0.3,
                     help="training-side progress-shaping coefficient; "
                          "high values out-reward the env's -0.25 collision "
@@ -94,7 +99,7 @@ def main():
         num_envs=args.envs, horizon=args.horizon,
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
         policy_arch=args.arch, self_play=args.self_play,
-        shaping_coef=args.shaping,
+        shaping_coef=args.shaping, seed=args.seed,
     )
 
     if D > 1:
