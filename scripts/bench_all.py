@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 
 def bench_config(name, cfg, scenario, params, num_envs, num_steps,
                  static_map=None, sensors=("other_agents_states",),
-                 static_cells=None, reps=3):
+                 static_cells=None, reps=3, pipeline=1):
     import jax
     import jax.numpy as jnp
 
@@ -60,11 +60,22 @@ def bench_config(name, cfg, scenario, params, num_envs, num_steps,
     check(m)
     rates = []
     for _ in range(reps):
+        # pipeline > 1: chain dispatches WITHOUT intermediate host syncs
+        # (JAX async dispatch) so the per-dispatch host/tunnel overhead
+        # overlaps device compute — how a serving consumer actually
+        # drives the engine.  The timed work is identical; only the
+        # pointless block between dispatches goes away.
         t0 = time.perf_counter()
-        states, m = run(states)
+        ms = []
+        for _p in range(pipeline):
+            states, m = run(states)
+            ms.append(m)
         jax.block_until_ready(states)
-        rates.append(num_envs * num_steps / (time.perf_counter() - t0))
-        check(m)
+        rates.append(
+            pipeline * num_envs * num_steps / (time.perf_counter() - t0)
+        )
+        for m in ms:
+            check(m)
     rates.sort()
     rate = rates[len(rates) // 2]
     agent_rate = rate * scenario.num_agents
@@ -106,7 +117,7 @@ def bench_cadrl4(E, S):
     return bench_config("cadrl4", cfg, sc, params, E // 4, S)
 
 
-def _ga3c4(E, S, name, dtype=None):
+def _ga3c4(E, S, name, dtype=None, pipeline=1):
     import jax.numpy as jnp
 
     from gym_collision_avoidance_tpu import EnvConfig
@@ -119,11 +130,17 @@ def _ga3c4(E, S, name, dtype=None):
                                  policy="GA3C_CADRL")
     kw = {} if dtype is None else {"dtype": getattr(jnp, dtype)}
     params = {"ga3c_cadrl": ga3c_cadrl.load_params(**kw)}
-    return bench_config(name, cfg, sc, params, E // 4, S)
+    return bench_config(name, cfg, sc, params, E // 4, S, pipeline=pipeline)
 
 
 def bench_ga3c4(E, S):
-    return _ga3c4(E, S, "ga3c4")
+    # pipeline=8: the round-3 trace put the DEVICE rate at ~11.8e6
+    # (87 us/step) while the blocking-per-dispatch loop delivered 9.9e6 —
+    # the missing 16% was the ~34 ms axon-tunnel dispatch overhead paid
+    # serially per 212 ms dispatch.  Chaining dispatches per timed rep
+    # overlaps that overhead with device compute: 1.088e7 at depth 4,
+    # 1.115e7 at 8, 1.124e7 at 16 (diminishing; PERF.md round 4).
+    return _ga3c4(E, S, "ga3c4", pipeline=8)
 
 
 def bench_ga3c4_bf16(E, S):
@@ -134,9 +151,11 @@ def bench_ga3c4_bf16(E, S):
     return _ga3c4(E, S, "ga3c4_bf16", dtype="bfloat16")
 
 
-def bench_autoreset4(E, S, reps=3):
+def _autoreset_serving(name, policy, E, S, reps=3):
     # steady-state "serving" loop: episodes reset in-graph from a
-    # scenario pool, so throughput includes reset + fresh-obs cost
+    # scenario pool, so throughput includes reset + fresh-obs cost and
+    # every step advances a LIVE episode (no masked-but-finished compute
+    # inflating the rate — the honest-number discipline of the headline)
     import jax as _jax
     import jax.numpy as jnp
     import numpy as np
@@ -151,8 +170,10 @@ def bench_autoreset4(E, S, reps=3):
         random_cases.scenario_pool(64, 4, seed=0, side_length=4.0),
         jnp.float32,
     )
-    policy_id = np.full(4, P.NONCOOP, np.int32)
-    astep = autoreset.make_autoreset_step(cfg, pool, policy_id)
+    policy_id = np.full(4, policy, np.int32)
+    astep = autoreset.make_autoreset_step(
+        cfg, pool, policy_id, active_policies=(int(policy),)
+    )
 
     states = _jax.vmap(
         lambda i: autoreset.state_from_case(cfg, pool[i % 64], policy_id)
@@ -178,11 +199,29 @@ def bench_autoreset4(E, S, reps=3):
         _jax.block_until_ready(carry[0])
         rates.append(E * S / (time.perf_counter() - t0))
     rates.sort()
-    return {"config": "autoreset4", "num_envs": E,
+    return {"config": name, "num_envs": E,
             "env_steps_per_sec": round(rates[len(rates) // 2], 1),
             "spread_min": round(rates[0], 1),
             "spread_max": round(rates[-1], 1),
             "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E)))}
+
+
+def bench_autoreset4(E, S, reps=3):
+    from gym_collision_avoidance_tpu.policies import registry as P
+
+    return _autoreset_serving("autoreset4", P.NONCOOP, E, S, reps)
+
+
+def bench_orca4(E, S, reps=3):
+    # ORCA/RVO in the steady-state serving loop (private full-world sims,
+    # half-planes + sequential 2-D LP every step, RVOPolicy.py:50-111
+    # semantics).  This is the QUOTABLE ORCA number; the fixed-scenario
+    # rvo4 row finishes its episodes early and then times frozen-state
+    # compute (the "dispatch-bound" 2.0e9 artifact PERF.md used to
+    # headline).
+    from gym_collision_avoidance_tpu.policies import registry as P
+
+    return _autoreset_serving("orca4", P.RVO, E, S, reps)
 
 
 def bench_ppo_train(E, S, num_agents=2, arch="mlp"):
@@ -270,6 +309,7 @@ CONFIGS = {
     "ga3c4": bench_ga3c4,
     "ga3c4_bf16": bench_ga3c4_bf16,
     "autoreset4": bench_autoreset4,
+    "orca4": bench_orca4,
     "ppo_train": bench_ppo_train,
     "ga3c20_laser": bench_ga3c20_laser,
 }
