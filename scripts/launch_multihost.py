@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--spawn", type=int, default=None,
                    help="spawn N local worker processes (demo/CI mode)")
     p.add_argument("--port", type=int, default=7733)
+    p.add_argument("--reps", type=int, default=1,
+                   help="timed repetitions after warmup; reports the "
+                        "median (steady-state benchmark mode)")
     return p.parse_args(argv)
 
 
@@ -60,6 +63,8 @@ def spawn_local(args) -> int:
             "--num-envs", str(args.num_envs),
             "--num-agents", str(args.num_agents),
             "--steps", str(args.steps),
+            "--reps", str(args.reps),
+            "--port", str(args.port),
         ]
         if args.devices_per_host:
             cmd += ["--devices-per-host", str(args.devices_per_host)]
@@ -115,24 +120,30 @@ def run_worker(args) -> None:
     run = dist.make_distributed_rollout(
         cfg, args.steps, mesh, active_policies=sc.active_policies
     )
-    # compile + warm once, then measure
+    # compile + warm once, then measure --reps timed repetitions
     final, metrics = run(states)
     jax.block_until_ready(metrics)
-    states2 = dist.host_local_batch(lambda i: base, args.num_envs, mesh)
-    t0 = time.perf_counter()
-    final, metrics = run(states2)
-    jax.block_until_ready(metrics)
-    elapsed = time.perf_counter() - t0
+    elapsed = []
+    for _ in range(max(args.reps, 1)):
+        states2 = dist.host_local_batch(lambda i: base, args.num_envs, mesh)
+        jax.block_until_ready(states2)
+        t0 = time.perf_counter()
+        final, metrics = run(states2)
+        jax.block_until_ready(metrics)
+        elapsed.append(time.perf_counter() - t0)
 
     env_steps = args.num_envs * args.num_agents * args.steps
     checksum = float(np.asarray(metrics["mean_reward"]).sum())
+    rates = sorted(env_steps / e for e in elapsed)
     if jax.process_index() == 0:
         print(json.dumps({
             "num_processes": jax.process_count(),
             "global_devices": len(jax.devices()),
             "num_envs": args.num_envs,
             "steps": args.steps,
-            "agent_steps_per_s": env_steps / elapsed,
+            "agent_steps_per_s": rates[len(rates) // 2],
+            "spread_min": rates[0],
+            "spread_max": rates[-1],
             "metrics_checksum": checksum,
         }))
 
