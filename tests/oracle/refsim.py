@@ -43,6 +43,12 @@ def import_reference(config_class: str = "Config"):
         pytest.skip("reference simulator not available at /root/reference",
                     allow_module_level=True)
     _install_gym_shim()
+    # back the reference's RVOPolicy with the C++ ORCA oracle (its rvo2
+    # submodule is not checked out in this image) — must be installed
+    # before test_cases.py's optional RVO import runs
+    from tests.oracle import rvo2_shim
+
+    rvo2_shim.install()
     os.environ["GYM_CONFIG_CLASS"] = config_class
     if _REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, _REFERENCE_ROOT)

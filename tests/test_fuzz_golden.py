@@ -11,10 +11,11 @@ reference oracle (per-Agent wiring: envs/agent.py:31-33; random case
 construction: envs/test_cases.py:89-96).
 
 Round 4 extends the fuzz to the hard surfaces: random mixes drawing the
-NN policies (CADRL lookahead, GA3C-CADRL LSTM) — discrete outcomes
-exact, continuous state at the fixed-case NN goldens' 5e-4 floor — and
-random per-agent sensor equipage on a static map (bitwise incl. the
-full laserscan history).
+NN policies (CADRL lookahead, GA3C-CADRL LSTM) and RVO (via the
+C++-oracle-backed rvo2 shim, so the reference's own RVOPolicy is the
+oracle) — discrete outcomes exact, continuous state at the fixed-case
+NN goldens' 5e-4 floor — and random per-agent sensor equipage on a
+static map (bitwise incl. the full laserscan history).
 
 All scenarios are padded to 4 agents (``Scenario.pad_to``) so every seed
 shares ONE compiled program — the padding itself is part of what's under
@@ -140,10 +141,12 @@ def _jax_rollout(pos, goal, radius, pref_speed, heading, policy_id, dynamics_id)
 
 # ---------------------------------------------------------------------------
 # The hard heterogeneity surface: NN policies (CADRL value-net lookahead,
-# GA3C-CADRL LSTM) drawn into random mixed-policy scenarios, and random
-# per-agent sensor equipage.  (RVO cannot join the reference-oracle mixes:
-# the reference's rvo2 C++ module is an unbuilt submodule in this image —
-# its parity surface is the from-scratch C++ oracle in tests/test_orca.py.)
+# GA3C-CADRL LSTM) and RVO drawn into random mixed-policy scenarios, and
+# random per-agent sensor equipage.  RVO runs in the reference via the
+# C++-oracle-backed rvo2 shim (tests/oracle/rvo2_shim.py — the real
+# submodule is unbuilt in this image), so the reference's own RVOPolicy
+# wrapper code is the oracle; its kernel floor vs our JAX ORCA is 1e-9
+# (tests/test_orca.py), far under the NN mixes' 5e-4 tolerance.
 # ---------------------------------------------------------------------------
 
 NN_SEEDS = list(range(8))
@@ -187,11 +190,11 @@ def _random_nn_mix(seed):
                 goal[i] = g
                 break
     choices = [policies.NONCOOP, policies.STATIC, policies.CADRL,
-               policies.GA3C_CADRL]
+               policies.GA3C_CADRL, policies.RVO]
     policy_id = rng.choice(choices, A)
-    # guarantee the hard surface: at least one NN agent every seed
+    # guarantee the hard surface: at least one NN/RVO agent every seed
     policy_id[rng.randint(A)] = rng.choice(
-        [policies.CADRL, policies.GA3C_CADRL]
+        [policies.CADRL, policies.GA3C_CADRL, policies.RVO]
     )
     return pos, goal, radius, pref_speed, heading, policy_id
 
@@ -227,10 +230,15 @@ def _ref_rollout_nn(mix, ref_nn_policies):
     )
 
     env = CollisionAvoidanceEnv()
+    # RVO is instantiated per agent (its private rvo2 sim binds the agent
+    # count on first use); the heavyweight NN policies use the shared
+    # fixture instances
+    per_agent_names = dict(_POLICY_NAMES)
+    per_agent_names[int(policies.RVO)] = "RVO"
     agents = []
     for i in range(pos.shape[0]):
         pid = int(policy_id[i])
-        name = _POLICY_NAMES.get(pid)
+        name = per_agent_names.get(pid)
         a = Agent(
             pos[i, 0], pos[i, 1], goal[i, 0], goal[i, 1], radius[i],
             pref_speed[i], np.float64(heading[i]),
@@ -252,7 +260,7 @@ def _ref_rollout_nn(mix, ref_nn_policies):
 
 @pytest.mark.parametrize("seed", NN_SEEDS)
 def test_random_nn_policy_mix_matches_reference(seed, ref_nn_policies):
-    """Mixed CADRL / GA3C-CADRL / scripted scenarios vs the reference.
+    """Mixed CADRL / GA3C-CADRL / RVO / scripted scenarios vs the reference.
 
     Discrete outcomes (goal/collision/timeout latches) must match exactly;
     continuous state carries the same 5e-4 tolerance as the fixed-case NN
@@ -280,7 +288,7 @@ def test_random_nn_policy_mix_matches_reference(seed, ref_nn_policies):
     _, traj = runner.rollout(
         state, NN_CFG, NN_STEPS, params=params,
         active_policies=(policies.STATIC, policies.NONCOOP, policies.CADRL,
-                         policies.GA3C_CADRL),
+                         policies.GA3C_CADRL, policies.RVO),
     )
 
     for key in ("is_at_goal", "in_collision", "ran_out_of_time"):

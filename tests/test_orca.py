@@ -10,6 +10,8 @@ from gym_collision_avoidance_tpu.ops import orca
 from gym_collision_avoidance_tpu.scenarios import presets
 from gym_collision_avoidance_tpu.utils import native_build
 
+from tests.oracle import refsim
+
 
 @pytest.fixture(scope="module")
 def cpp_orca():
@@ -76,6 +78,38 @@ def test_orca_collab_coeff_zero_is_egoistic(cpp_orca):
     ref = cpp_orca(pos, vel, pref_vel, radius, max_speed,
                    np.array([0.0, 0.5]), 0.2, 1e6, 2, 5.0)
     np.testing.assert_allclose(ours_ego, ref, atol=1e-9)
+
+
+def test_rvo_env_rollout_matches_reference_via_shim():
+    """Full-env RVO golden: the reference's OWN RVOPolicy (private-world
+    mirroring, x1.05 radius, collabCoeff, pi/6 stop-and-turn —
+    RVOPolicy.py:50-122) running on the C++-oracle-backed rvo2 shim
+    (tests/oracle/rvo2_shim.py) vs our batched kernel.  The JAX-vs-C++
+    kernel floor is 1e-9 per step; trajectories track to 1e-6 over the
+    episode and every discrete latch matches exactly."""
+    sc0 = presets.circle_scenario(4, radius=4.0, agent_radius=0.3)
+    rng = np.random.RandomState(11)
+    case = np.concatenate(
+        [sc0.pos + rng.uniform(-0.3, 0.3, sc0.pos.shape), sc0.goal,
+         sc0.pref_speed[:, None], sc0.radius[:, None]], -1)
+
+    env = refsim.make_env_from_case(case, policy_name="RVO")
+    ref = refsim.rollout(env, 60)
+
+    cfg = EnvConfig(dtype="float64", done_mode="learning")
+    sc = presets.from_cadrl_case(case, policy="RVO")
+    state = sc.to_state(cfg)
+    from gym_collision_avoidance_tpu.env.step import env_reset
+
+    state, _ = env_reset(state, cfg)
+    _, traj = runner.rollout(
+        state, cfg, 60, active_policies=sc.active_policies)
+    np.testing.assert_allclose(np.asarray(traj["pos"]), ref["pos"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj["vel"]), ref["vel"], atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(traj["is_at_goal"]), ref["is_at_goal"])
+    np.testing.assert_array_equal(
+        np.asarray(traj["in_collision"]), ref["in_collision"])
 
 
 def test_rvo_env_rollout_is_collision_free():
