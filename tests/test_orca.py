@@ -112,6 +112,62 @@ def test_rvo_env_rollout_matches_reference_via_shim():
         np.asarray(traj["in_collision"]), ref["in_collision"])
 
 
+def test_rvo_anti_collab_env_rollout_matches_reference_via_shim():
+    """End-to-end anti-collaborative RVO (RVO_COLLAB_COEFF < 0) vs the
+    reference env on the rvo2 shim: the reference redraws each agent's
+    noncoop-vs-adversarial flag from the GLOBAL numpy stream at window
+    boundaries (RVOPolicy.py:77-90), skipping done agents; our engine
+    consumes host-side draws from anti_collab_host_draws through
+    params['rvo_use_noncoop'].  Same seed -> same draws -> same
+    trajectories (1e-6 on the C++-vs-JAX kernel floor)."""
+    from gym_collision_avoidance_tpu.env.step import env_reset, env_step
+    from gym_collision_avoidance_tpu.policies import registry as policies
+    from gym_collision_avoidance_tpu.policies import rvo as rvo_policy
+
+    sc0 = presets.circle_scenario(4, radius=3.0, agent_radius=0.4)
+    rng0 = np.random.RandomState(21)
+    case = np.concatenate(
+        [sc0.pos + rng0.uniform(-0.3, 0.3, sc0.pos.shape), sc0.goal,
+         sc0.pref_speed[:, None], sc0.radius[:, None]], -1)
+    steps, coeff = 40, -0.8
+
+    refsim.import_reference()
+    from gym_collision_avoidance.envs import Config as RefConfig
+
+    orig = RefConfig.RVO_COLLAB_COEFF
+    RefConfig.RVO_COLLAB_COEFF = coeff
+    np.random.seed(91)
+    try:
+        env = refsim.make_env_from_case(case, policy_name="RVO")
+        ref = refsim.rollout(env, steps)
+    finally:
+        RefConfig.RVO_COLLAB_COEFF = orig
+
+    cfg = EnvConfig(dtype="float64", done_mode="learning",
+                    rvo_collab_coeff=coeff)
+    sc = presets.from_cadrl_case(case, policy="RVO")
+    state, _ = env_reset(sc.to_state(cfg), cfg)
+    host_rng = np.random.RandomState(91)
+    flags = np.ones(4, bool)
+    for t in range(steps):
+        active = ~np.asarray(state.is_done)
+        flags = rvo_policy.anti_collab_host_draws(
+            flags, np.asarray(state.t), active, cfg, host_rng)
+        state, _obs, _rew, _go, _info = env_step(
+            state, None, cfg, {rvo_policy.NONCOOP_FLAGS_KEY: flags},
+            (policies.RVO,), ("other_agents_states",), ("dist_to_goal",),
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.pos), ref["pos"][t], atol=1e-6,
+            err_msg=f"t{t}")
+        np.testing.assert_array_equal(
+            np.asarray(state.in_collision), ref["in_collision"][t])
+        np.testing.assert_array_equal(
+            np.asarray(state.is_at_goal), ref["is_at_goal"][t])
+    # both sides consumed the identical number of global-stream draws
+    assert np.random.randint(1 << 30) == host_rng.randint(1 << 30)
+
+
 def test_rvo_env_rollout_is_collision_free():
     # NOTE: a perfectly symmetric antipodal circle deadlocks under ORCA
     # (agents creep radially at ~dist/tau and never meet) — that matches
