@@ -314,6 +314,25 @@ def bench_ga3c20_laser(E, S):
                         sensors=("other_agents_states", "laserscan"))
 
 
+def bench_ga3c40(E, S):
+    # the reference's LargeNumAgents regime (envs/config.py:236-252: 40
+    # agents, 19 observed): O(A^2) sensing + 19-slot LSTM per agent.
+    # Informational row (not in the driver profile); pipeline=2 for the
+    # long dispatches.
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+    from gym_collision_avoidance_tpu.scenarios import presets
+
+    cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last")
+    sc = presets.circle_scenario(40, radius=10.0, agent_radius=0.3,
+                                 policy="GA3C_CADRL")
+    params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+    return bench_config("ga3c40", cfg, sc, params, E // 32, S, pipeline=2)
+
+
 CONFIGS = {
     "noncoop4": bench_noncoop4,
     "rvo4": bench_rvo4,
@@ -324,6 +343,7 @@ CONFIGS = {
     "orca4": bench_orca4,
     "ppo_train": bench_ppo_train,
     "ga3c20_laser": bench_ga3c20_laser,
+    "ga3c40": bench_ga3c40,
 }
 
 
