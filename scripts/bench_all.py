@@ -149,8 +149,9 @@ def bench_ga3c4_bf16(E, S):
     # bf16 serving fast path: matmul weights in bf16 (norm constants
     # stay f32; TPU MXU accumulates in f32).  NOT bit-identical to the
     # f32 path — >=98% action agreement (tests/test_ga3c.py); end-to-end
-    # suite quality deltas recorded in RESULTS.md.
-    return _ga3c4(E, S, "ga3c4_bf16", dtype="bfloat16")
+    # suite quality deltas recorded in RESULTS.md.  Same pipeline depth
+    # as the f32 row so the comparison stays apples-to-apples.
+    return _ga3c4(E, S, "ga3c4_bf16", dtype="bfloat16", pipeline=8)
 
 
 def _autoreset_serving(name, policy, E, S, reps=3):
