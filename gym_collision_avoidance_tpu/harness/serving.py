@@ -1,0 +1,145 @@
+"""Production serving loop: continuous batched episodes at device rate.
+
+The highest-throughput way to consume this engine (the pattern behind
+every PERF.md serving number, packaged as API):
+
+* **in-graph autoreset** — episodes reset from a scenario pool inside
+  the jitted scan, so every step of every env advances a live episode
+  (replaces the reference's reset-on-done host loop,
+  ``envs/vec_env.py:124-125``);
+* **long dispatches** — ``steps_per_dispatch`` env steps per XLA
+  program launch amortize the per-dispatch host overhead;
+* **dispatch pipelining** — ``dispatch()`` never blocks the host: JAX
+  async dispatch chains programs back-to-back, hiding the host/launch
+  overhead behind device compute entirely (measured +10-260% vs
+  blocking per dispatch on the tunnel-attached chip; PERF.md round 4).
+
+Example::
+
+    server = AutoresetServer(cfg, pool, policy_id, num_envs=8192)
+    for _ in range(100):
+        out = server.dispatch()        # returns device futures, no sync
+        consume(out)                   # sync only when values are read
+    print(server.episodes_completed()) # syncs
+
+``dispatch`` returns per-dispatch stacked outputs ``[S, ...]`` for the
+requested ``collect`` keys; with ``collect=()`` only the final metrics
+survive and XLA dead-code-eliminates everything unconsumed except the
+sensor pipeline (kept live via the obs checksum, same honesty rule as
+``bench.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_collision_avoidance_tpu.config import EnvConfig
+from gym_collision_avoidance_tpu.env import autoreset
+from gym_collision_avoidance_tpu.obs import spec as obs_spec
+
+
+class AutoresetServer:
+    """Continuous steady-state serving of batched episodes.
+
+    Args:
+        cfg: env config (static).
+        pool: [N, A, 6] scenario pool (rows as in
+            ``scenarios.random_cases.scenario_pool``).
+        policy_id: [A] int32 policy ids applied to every episode.
+        num_envs: batch width E.
+        steps_per_dispatch: env steps per XLA launch (S).
+        collect: obs keys returned stacked per dispatch (e.g.
+            ``("other_agents_states",)``); empty tuple = throughput mode
+            (only scalar metrics survive).
+        active_policies / params / sensors / states_in_obs: as in
+            :func:`env.autoreset.make_autoreset_step`.
+    """
+
+    def __init__(
+        self,
+        cfg: EnvConfig,
+        pool,
+        policy_id,
+        num_envs: int = 4096,
+        steps_per_dispatch: int = 256,
+        collect: Tuple[str, ...] = (),
+        active_policies: Optional[Tuple[int, ...]] = None,
+        params=None,
+        sensors: Sequence[str] = ("other_agents_states",),
+        states_in_obs: Sequence[str] = obs_spec.DEFAULT_STATES_IN_OBS,
+    ):
+        pool = jnp.asarray(pool, jnp.dtype(cfg.dtype))
+        policy_id = np.asarray(policy_id, np.int32)
+        if active_policies is None:
+            active_policies = tuple(sorted({int(p) for p in policy_id}))
+        astep = autoreset.make_autoreset_step(
+            cfg, pool, jnp.asarray(policy_id), active_policies,
+            tuple(sensors), tuple(states_in_obs), params,
+        )
+        self.num_envs = int(num_envs)
+        self.steps_per_dispatch = int(steps_per_dispatch)
+        N = pool.shape[0]
+
+        def body(carry, _):
+            st, c = carry
+            st, c, obs, rew, go = jax.vmap(astep)(st, c)
+            out = {k: obs[k] for k in collect}
+            out["mean_reward"] = jnp.mean(rew)
+            # keep the sensor pipeline live even in throughput mode
+            out["obs_checksum"] = jnp.sum(obs["dist_to_goal"])
+            return (st, c), out
+
+        @jax.jit
+        def run(carry):
+            return jax.lax.scan(
+                body, carry, None, length=self.steps_per_dispatch
+            )
+
+        self._run = run
+        states = jax.vmap(
+            lambda i: autoreset.state_from_case(
+                cfg, pool[i % N], jnp.asarray(policy_id)
+            )
+        )(jnp.arange(self.num_envs))
+        self._carry = (states, jnp.arange(self.num_envs, dtype=jnp.int32))
+
+    def dispatch(self):
+        """Enqueue one S-step dispatch; returns the stacked outputs as
+        device futures WITHOUT blocking the host (read them to sync)."""
+        self._carry, out = self._run(self._carry)
+        return out
+
+    def states(self):
+        """Current (sharded/batched) env states, synced."""
+        jax.block_until_ready(self._carry[0])
+        return self._carry[0]
+
+    def episodes_completed(self) -> int:
+        """Total episodes finished since construction (syncs)."""
+        return int(
+            jnp.sum(self._carry[1] - jnp.arange(self.num_envs))
+        )
+
+    def throughput(self, reps: int = 3, pipeline: int = 8):
+        """Measured steady-state env-steps/s (median of ``reps``, each
+        timing ``pipeline`` chained dispatches)."""
+        import time
+
+        out = self.dispatch()           # warmup beyond compile
+        jax.block_until_ready(out["mean_reward"])
+        rates = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _p in range(pipeline):
+                out = self.dispatch()
+            jax.block_until_ready(out["mean_reward"])
+            rates.append(
+                pipeline * self.num_envs * self.steps_per_dispatch
+                / (time.perf_counter() - t0)
+            )
+        rates.sort()
+        return rates[len(rates) // 2]

@@ -228,3 +228,51 @@ def test_occupancy_grid_in_env_obs():
     # agent near the central obstacle sees occupied cells; far corner agent
     # sees its companion's disc only
     assert int(np.asarray(obs["occupancy_grid"][0]).sum()) > 0
+
+
+def test_autoreset_server_matches_direct_loop():
+    """AutoresetServer must reproduce the raw vmap(autoreset-step) loop
+    bitwise, dispatch boundaries included (chained dispatches are pure
+    function composition — no state lives outside the carry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.harness.serving import AutoresetServer
+    from gym_collision_avoidance_tpu.policies import registry as P
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate")
+    pool = random_cases.scenario_pool(8, 3, seed=4, side_length=4.0)
+    policy_id = np.full(3, P.NONCOOP, np.int32)
+    E, S = 16, 10
+
+    server = AutoresetServer(
+        cfg, pool, policy_id, num_envs=E, steps_per_dispatch=S,
+        collect=("dist_to_goal",),
+    )
+    outs = [server.dispatch() for _ in range(3)]  # 3 chained dispatches
+    final = server.states()
+
+    # direct reference loop: same construction, 30 plain steps
+    astep = autoreset.make_autoreset_step(
+        cfg, jnp.asarray(pool, jnp.float32), jnp.asarray(policy_id),
+        (int(P.NONCOOP),),
+    )
+    states = jax.vmap(
+        lambda i: autoreset.state_from_case(
+            cfg, jnp.asarray(pool, jnp.float32)[i % 8],
+            jnp.asarray(policy_id))
+    )(jnp.arange(E))
+    counters = jnp.arange(E, dtype=jnp.int32)
+    d2g = []
+    for _ in range(3 * S):
+        states, counters, obs, rew, go = jax.vmap(astep)(states, counters)
+        d2g.append(np.asarray(obs["dist_to_goal"]))
+
+    np.testing.assert_array_equal(np.asarray(final.pos), np.asarray(states.pos))
+    stacked = np.concatenate([np.asarray(o["dist_to_goal"]) for o in outs])
+    np.testing.assert_array_equal(stacked, np.stack(d2g))
+    assert server.episodes_completed() == int(
+        jnp.sum(counters - jnp.arange(E)))
