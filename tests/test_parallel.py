@@ -65,3 +65,35 @@ def test_graft_dryrun_multichip():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_sharded_nn_policy_step_matches_unsharded(mesh8):
+    """The production pod-serving shape: env axis sharded over the mesh,
+    GA3C params replicated — outputs bit-identical to the unsharded
+    program (SURVEY §2.3 obligation 1 with a real NN policy in the
+    loop, not just the scripted ones)."""
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+
+    cfg = EnvConfig.evaluate(
+        dtype="float32", max_num_other_agents_observed=19,
+        agent_sorting_method="closest_last",
+    )
+    sc = presets.circle_scenario(
+        4, radius=3.0, agent_radius=0.4, policy="GA3C_CADRL"
+    )
+    state = sc.to_state(cfg)
+    state, _ = env_reset(state, cfg)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (16,) + x.shape), state)
+    params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
+    step = pmesh.make_batched_step(cfg, sc.active_policies, donate=False)
+
+    out_plain = step(states, params)
+    out_sharded = step(pmesh.shard_env_batch(states, mesh8), params)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_plain[0].pos), np.asarray(out_sharded[0].pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_plain[2]), np.asarray(out_sharded[2])  # rewards
+    )
+    assert len(out_sharded[0].pos.sharding.device_set) == 8
