@@ -331,3 +331,50 @@ def test_autoreset_packed_select_bitwise_matches_per_leaf():
                           jax.tree.leaves((sb, cb, ob, rb, gb))):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     assert n_resets >= 2 * E  # the A/B actually exercised reset events
+
+
+def test_autoreset_mxu_pick_bitwise_matches_masked_sum():
+    """The MXU-dot reset-select for fat pool leaves (round 4,
+    env/autoreset.py:pick) must be bit-identical to the masked mul+sum
+    path across many reset events — the one-hot dot at
+    Precision.HIGHEST has a single nonzero term, so ordering and the
+    bf16x3 split cannot perturb the selected f32 values."""
+    import jax
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.env.step import env_reset
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+    from gym_collision_avoidance_tpu.policies import registry as P
+
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate", max_time_ratio=1.2)
+    pool = jnp.asarray(
+        random_cases.scenario_pool(6, 2, seed=1, side_length=3.0), jnp.float32
+    )
+    policy_id = np.full(2, P.NONCOOP, np.int32)
+    step_mxu = jax.jit(jax.vmap(
+        autoreset.make_autoreset_step(cfg, pool, policy_id,
+                                      mxu_pick_min_size=1)
+    ))
+    step_ref = jax.jit(jax.vmap(
+        autoreset.make_autoreset_step(cfg, pool, policy_id,
+                                      mxu_pick_min_size=1 << 30)
+    ))
+
+    E = 4
+    init = jax.vmap(
+        lambda i: env_reset(
+            autoreset.state_from_case(cfg, pool[i % 6], policy_id), cfg
+        )[0]
+    )(jnp.arange(E))
+    counters = jnp.arange(E, dtype=jnp.int32)
+
+    sa, ca = init, counters
+    sb, cb = init, counters
+    n_resets = 0
+    for _ in range(250):
+        sa, ca, oa, ra, ga = step_mxu(sa, ca)
+        sb, cb, ob, rb, gb = step_ref(sb, cb)
+        n_resets += int(np.asarray(ga).sum())
+        for la, lb in zip(jax.tree.leaves((sa, ca, oa, ra, ga)),
+                          jax.tree.leaves((sb, cb, ob, rb, gb))):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert n_resets >= 2 * E
