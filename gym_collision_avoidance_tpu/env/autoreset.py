@@ -114,7 +114,7 @@ def make_autoreset_step(
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
     params=None,
     packed: bool = False,
-    mxu_pick_min_size: int = 16,
+    mxu_pick_min_size: int = 1,
 ):
     """Build a single-env step fn with reset-where-done semantics.
 
@@ -133,8 +133,13 @@ def make_autoreset_step(
         mxu_pick_min_size: flattened-row threshold above which a pool
             leaf's reset-select runs as an MXU dot instead of a masked
             sum (see ``pick``); both paths are bit-exact, the cutoff is
-            purely a performance choice (A/B'd on-chip, round 4:
-            3.72e7 -> 6.89e7 env-steps/s on the serving headline).
+            purely a performance choice.  Round-4 on-chip A/B on the
+            serving headline: masked sums 3.72e7, dots for rows >= 16
+            6.87e7, dots for EVERYTHING (default, 1) 8.16e7 env-steps/s
+            — with an N=64 contraction and Precision.HIGHEST these are
+            true exact GEMMs, not the degenerate tiny-dot lowerings the
+            round-2 einsum purge removed (those had contraction dims
+            2-7 and default-precision bf16 operands).
 
     Returns:
         step(state, counter, external=None) ->
@@ -182,19 +187,22 @@ def make_autoreset_step(
         Two regimes (round-4 serving trace: the per-leaf selects are the
         noncoop serving loop's biggest device cost, ~60% of the step):
 
-        * skinny leaves: one-hot masked mul+sum.  NOT an einsum — XLA
-          lowers tiny dots to bf16-operand convolution emitters on TPU,
-          which would round the selected f32 values AND pay layout
-          copies around each dot.
-        * fat leaves (flattened row >= ``mxu_pick_min_size``): a true
-          ``[N] x [N, D]`` dot at ``Precision.HIGHEST`` — under the env
-          vmap this batches into ONE ``[E, N] x [N, D]`` MXU GEMM whose
-          output is written in the leaf's natural layout (unlike the
-          packed wide-dot variant, whose per-leaf slices paid
-          lane-shift copies).  Bit-exact structurally: every product is
-          value*1.0 or value*0.0 (HIGHEST's bf16x3 split of f32 sums
-          back exactly against an exact 1.0), and the accumulation has
-          a single nonzero term, so ordering cannot matter.
+        * below-threshold leaves (none by default): one-hot masked
+          mul+sum — kept for A/B and as the reference semantics the
+          bitwise test pins the dots against.
+        * everything else (flattened row >= ``mxu_pick_min_size``,
+          default: all leaves): a true ``[N] x [N, D]`` dot at
+          ``Precision.HIGHEST`` — under the env vmap this batches into
+          ONE ``[E, N] x [N, D]`` MXU GEMM per leaf whose output is
+          written in the leaf's natural layout (unlike the packed
+          wide-dot variant, whose per-leaf slices paid lane-shift
+          copies).  Bit-exact structurally: every product is value*1.0
+          or value*0.0 (HIGHEST's bf16x3 split of f32 sums back exactly
+          against an exact 1.0), and the accumulation has a single
+          nonzero term, so ordering cannot matter.  The N=64
+          contraction dim is what makes these REAL GEMMs; the round-2
+          "never einsum" rule targeted 2-7-wide contractions at default
+          (bf16-operand) precision.
 
         Both regimes are exact for ints below 2^24 and bools.
         """
