@@ -20,6 +20,17 @@ from gym_collision_avoidance_tpu.maps import grid as map_grid
 
 _INF = jnp.inf
 
+# Agent-count threshold above which the sensor's one-hot row-select
+# runs as a batched MXU dot instead of masked mul+sums.  DISABLED by
+# default: unlike the autoreset MXU pool pick (same exactness argument,
+# +2.2x on the headline), this dot's 7-wide output minor starves the
+# MXU — measured on-chip at A=40 it is 10% SLOWER than the masked sums
+# (218k -> 197k env-steps/s) and 2.5% slower at A=20.  Kept as a
+# recorded negative with its bitwise A/B test (test_sensor.py); the
+# rule refines to: MXU needs BOTH a wide contraction AND a non-trivial
+# output row.
+SENSOR_MXU_MIN_A = 1 << 30
+
 # LaserScan geometry (hard-coded in the reference,
 # envs/sensors/LaserScanSensor.py:32-39).
 LASER_RANGE_RESOLUTION = 0.1
@@ -1168,14 +1179,26 @@ def other_agents_states(state, cfg):
     onehot = (rank[:, None, :] == slot[None, :, None]) & selected[:, None, :]
     onehot_f = onehot.astype(dtype)                                   # [A, K, A]
 
-    def pick_field(f):  # [A, A] -> [A, K]
-        return jnp.sum(onehot_f * f[:, None, :].astype(dtype), axis=-1)
+    fields = (p_par, p_orth, v_par, v_orth, other_r, combined_r, d2other)
+    if A >= SENSOR_MXU_MIN_A:
+        # Bit-identical MXU variant (see SENSOR_MXU_MIN_A: disabled —
+        # measured slower; the 7-wide output starves the MXU even with
+        # the A-wide contraction).
+        stacked = jnp.stack([f.astype(dtype) for f in fields], axis=-1)
+        rows = jax.lax.dot_general(
+            onehot_f, stacked,
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                             # [A, K, 7]
+    else:
+        # small A: the contraction is 2-7 wide — the degenerate-dot
+        # regime the round-2 einsum purge removed (bf16-operand
+        # convolution emitters + layout copies); masked mul+sum is
+        # exact f32 and fuses into plain VPU loops.
+        def pick_field(f):  # [A, A] -> [A, K]
+            return jnp.sum(onehot_f * f[:, None, :].astype(dtype), axis=-1)
 
-    rows = jnp.stack(
-        [pick_field(f)
-         for f in (p_par, p_orth, v_par, v_orth, other_r, combined_r, d2other)],
-        axis=-1,
-    )                                                                 # [A, K, 7]
+        rows = jnp.stack([pick_field(f) for f in fields], axis=-1)    # [A, K, 7]
 
     counts = jnp.minimum(jnp.sum(visible, axis=1), K).astype(jnp.int32)
 

@@ -94,3 +94,31 @@ def test_sensor_matches_reference(sorting, horizon, max_observed):
         np.testing.assert_allclose(np.asarray(rows), ref_rows, atol=1e-9,
                                    err_msg=f"trial {trial}")
         np.testing.assert_allclose(np.asarray(closest), ref_closest, atol=1e-9)
+
+
+def test_large_a_mxu_select_bitwise_matches_masked_sum(monkeypatch):
+    """The sensor's MXU-dot row-select variant (disabled by default — a
+    measured on-chip negative, see sensors.SENSOR_MXU_MIN_A) must stay
+    bit-identical to the masked mul+sum path: single nonzero term per
+    slot, operands exact at Precision.HIGHEST — same argument as the
+    autoreset MXU pool pick."""
+    from gym_collision_avoidance_tpu.core.state import init_state
+    from gym_collision_avoidance_tpu.obs import sensors
+
+    rng = np.random.RandomState(3)
+    A = 20
+    cfg = EnvConfig(dtype="float32", max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last")
+    state = init_state(
+        cfg,
+        pos=rng.uniform(-8, 8, (A, 2)),
+        goal=rng.uniform(-8, 8, (A, 2)),
+        radius=rng.uniform(0.2, 0.5, A),
+        pref_speed=np.ones(A),
+        heading=rng.uniform(-np.pi, np.pi, A),
+    )
+    out_sum = [np.asarray(x) for x in sensors.other_agents_states(state, cfg)]
+    monkeypatch.setattr(sensors, "SENSOR_MXU_MIN_A", 1)
+    out_dot = [np.asarray(x) for x in sensors.other_agents_states(state, cfg)]
+    for a, b in zip(out_dot, out_sum):
+        np.testing.assert_array_equal(a, b)
