@@ -68,7 +68,8 @@ def _bench_serving(jax, jnp, num_envs=8192, num_steps=1024, reps=5,
     host syncs (JAX async dispatch) — how a serving consumer actually
     drives the engine; hides the axon tunnel's ~35 ms per-dispatch host
     overhead behind device compute (round 4: 3.36e7 blocking ->
-    3.71e7 at depth 8; identical timed work).
+    3.71e7 at depth 8; identical timed work).  With the MXU pool pick
+    (env/autoreset.py, round 4) the loop reads 8.05e7.
     """
     from gym_collision_avoidance_tpu import EnvConfig
     from gym_collision_avoidance_tpu.env import autoreset
