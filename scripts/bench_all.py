@@ -215,6 +215,66 @@ def bench_autoreset4(E, S, reps=3):
     return _autoreset_serving("autoreset4", P.NONCOOP, E, S, reps)
 
 
+def bench_ga3c4_serving(E, S, reps=3):
+    # GA3C-CADRL under the serving-loop discipline (in-graph autoreset,
+    # every step a LIVE episode): the cross-check that the fixed-scan
+    # ga3c4 row is not inflated by masked-but-done compute — the LSTM
+    # runs identically for done agents, and this row confirms it
+    # (1.143e7 live vs 1.11e7 fixed-scan, round 4).
+    import jax as _jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.models import ga3c_cadrl
+    from gym_collision_avoidance_tpu.policies import registry as P
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    E = E // 4
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate",
+                    max_num_other_agents_observed=19,
+                    agent_sorting_method="closest_last")
+    pool = jnp.asarray(
+        random_cases.scenario_pool(64, 4, seed=0, side_length=4.0),
+        jnp.float32,
+    )
+    policy_id = np.full(4, P.GA3C_CADRL, np.int32)
+    astep = autoreset.make_autoreset_step(
+        cfg, pool, policy_id, active_policies=(int(P.GA3C_CADRL),),
+        params={"ga3c_cadrl": ga3c_cadrl.load_params()},
+    )
+    states = _jax.vmap(
+        lambda i: autoreset.state_from_case(cfg, pool[i % 64], policy_id)
+    )(jnp.arange(E))
+
+    def body(carry, _):
+        st, c = carry
+        st, c, obs, rew, go = _jax.vmap(astep)(st, c)
+        return (st, c), (jnp.mean(rew), jnp.sum(obs["dist_to_goal"]))
+
+    @_jax.jit
+    def run(carry):
+        return _jax.lax.scan(body, carry, None, length=S)
+
+    carry = (states, jnp.arange(E, dtype=jnp.int32))
+    carry, _ = run(carry)
+    _jax.block_until_ready(carry[0])
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _p in range(8):
+            carry, _m = run(carry)
+        _jax.block_until_ready(carry[0])
+        rates.append(8 * E * S / (time.perf_counter() - t0))
+    rates.sort()
+    return {"config": "ga3c4_serving", "num_envs": E,
+            "env_steps_per_sec": round(rates[len(rates) // 2], 1),
+            "spread_min": round(rates[0], 1),
+            "spread_max": round(rates[-1], 1),
+            "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E)))}
+
+
 def bench_orca4(E, S, reps=3):
     # ORCA/RVO in the steady-state serving loop (private full-world sims,
     # half-planes + sequential 2-D LP every step, RVOPolicy.py:50-111
@@ -340,6 +400,7 @@ CONFIGS = {
     "cadrl4": bench_cadrl4,
     "ga3c4": bench_ga3c4,
     "ga3c4_bf16": bench_ga3c4_bf16,
+    "ga3c4_serving": bench_ga3c4_serving,
     "autoreset4": bench_autoreset4,
     "orca4": bench_orca4,
     "ppo_train": bench_ppo_train,
