@@ -65,6 +65,8 @@ def test_vendored_suite_pickles_are_self_contained():
     ref_dir = "/root/reference/gym_collision_avoidance/envs/test_cases"
     if os.path.isdir(ref_dir):
         for name in os.listdir(vendored):
+            if not name.endswith(".p"):
+                continue  # provenance README lives beside the data
             with open(os.path.join(vendored, name), "rb") as f_v, open(
                 os.path.join(ref_dir, name), "rb"
             ) as f_r:
