@@ -16,8 +16,9 @@ and training rows too (VERDICT round 2, item 3):
                pool (env/autoreset.py).  Every step advances a LIVE
                episode; no masked-but-finished compute inflates it.
 
-The headline is sized to be compute-bound (E=8192 envs x S=1024 steps
-per dispatch; measured sweet spot) and reported as the median over
+The headline is sized to be compute-bound (E=16384 envs x S=1024 steps
+per dispatch — re-swept in round 4 after the MXU pool pick changed the
+balance: 8.21e7/8.49e7/8.53e7/8.25e7 at E=8192/16384/24576/32768) and reported as the median over
 5 reps with min/max spread, robust to the axon tunnel's dispatch jitter.
 Profile rows run at the official S=128 dispatch size (S=32 A/Bs are
 clamped by the ~35 ms tunnel dispatch overhead — PERF.md methodology
@@ -60,7 +61,7 @@ PROFILE_ROWS = (
 )
 
 
-def _bench_serving(jax, jnp, num_envs=8192, num_steps=1024, reps=5,
+def _bench_serving(jax, jnp, num_envs=16384, num_steps=1024, reps=5,
                    pipeline=8):
     """Auto-reset steady-state loop: env-steps/s with live episodes.
 
