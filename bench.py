@@ -56,7 +56,7 @@ PROFILE_ROWS = (
     ("ga3c4", "bench_ga3c4", (8192, 1024)),
     ("cadrl4", "bench_cadrl4", (8192, 1024)),
     ("ga3c20_laser", "bench_ga3c20_laser", (4096, 512)),
-    ("orca4", "bench_orca4", (4096, 512)),
+    ("orca4", "bench_orca4", (16384, 512)),
     ("ppo_train", "bench_ppo_train", (4096, 128)),
 )
 

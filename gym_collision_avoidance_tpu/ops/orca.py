@@ -140,14 +140,14 @@ def _lp3(pt, dr, lvalid, begin_line, radius, result):
     return result
 
 
-def _orca_lines_one(i, pos, vel, radius, collab, neighbor_order, line_valid,
+def _orca_lines_one(rel_pos, rel_vel, comb_r, vel_i, collab_i,
                     dt, time_horizon):
-    """ORCA half-planes of agent i vs its (ordered) neighbors."""
-    j = neighbor_order                                   # [NL]
-    rel_pos = pos[j] - pos[i]                            # [NL, 2]
-    rel_vel = vel[i] - vel[j]
+    """ORCA half-planes of one agent vs a set of neighbors, given the
+    already-formed relative quantities (no gathers — a round-4 trace had
+    the per-neighbor ``pos[j]``-style gathers at ~80% of the orca4
+    serving step; the caller now builds lines in natural j space and
+    permutes afterwards)."""
     dist_sq = jnp.sum(rel_pos * rel_pos, axis=1)
-    comb_r = radius[i] + radius[j]
     comb_r_sq = comb_r * comb_r
 
     inv_th = 1.0 / time_horizon
@@ -193,8 +193,8 @@ def _orca_lines_one(i, pos, vel, radius, collab, neighbor_order, line_valid,
     direction = jnp.where(colliding[:, None], dir_col, dir_nc)
     u = jnp.where(colliding[:, None], u_col, u_nc)
 
-    point = vel[i] + collab[i] * u
-    return point, direction, line_valid
+    point = vel_i + collab_i * u
+    return point, direction
 
 
 @functools.partial(jax.jit, static_argnames=("max_neighbors",))
@@ -234,11 +234,42 @@ def orca_velocities(pos, vel, pref_vel, radius, max_speed, collab_coeff,
             dist_sq < neighbor_dist * neighbor_dist
         )
         key = jnp.where(cand, dist_sq, jnp.inf)
-        order = jnp.argsort(key)[:NL]                    # ascending distance
-        line_valid = cand[order] & (jnp.arange(NL) < max_neighbors)
+        # Ascending-distance ordering WITHOUT sort or gather primitives
+        # (both scalarize on TPU; a round-4 trace had this agent's
+        # argsort at 23% and the downstream pos[j]/vel[j]/cand[order]
+        # gathers at ~80% of the orca4 serving step).  Stable pairwise
+        # rank (ties broken by index — exactly argsort's stable order);
+        # lines are built in NATURAL j space from the already-formed
+        # relative quantities, then permuted into rank order by one-hot
+        # masked sums.  Ranks are a permutation of [0, A), so slot r
+        # receives exactly the values the gathered formulation produced
+        # — bit-identical, including the masked rows (dropping rank A-1
+        # reproduces argsort(key)[:NL]: the max (key, idx) sorts last).
+        idx = jnp.arange(A)
+        lt = key[:, None] < key[None, :]
+        eq_tie = (key[:, None] == key[None, :]) & (idx[:, None] < idx[None, :])
+        rank = jnp.sum(lt | eq_tie, axis=0)              # [A] rank of each j
+        slot = jnp.arange(NL)
 
-        pt, dr, lvalid = _orca_lines_one(
-            i, pos, vel, radius, collab_coeff, order, line_valid, dt, time_horizon
+        pt_n, dr_n = _orca_lines_one(
+            rel, vel[i] - vel, radius[i] + radius, vel[i], collab_coeff[i],
+            dt, time_horizon,
+        )                                                # [A, 2] natural order
+        # The self row is degenerate (rel = 0): in float32 its guarded
+        # divisions underflow to 0/0 = NaN, and a NaN row would poison
+        # every slot through the 0*NaN products of the masked sums (the
+        # gathered formulation never evaluated it — self ranks last and
+        # was dropped).  Replace it by select, which kills NaN.
+        self_row = (idx == i)[:, None]
+        pt_n = jnp.where(self_row, 0.0, pt_n)
+        dr_n = jnp.where(self_row, 0.0, dr_n)
+
+        onehot = rank[None, :] == slot[:, None]          # [NL, A]
+        ohf = onehot.astype(dtype)
+        pt = jnp.sum(ohf[:, :, None] * pt_n[None, :, :], axis=1)
+        dr = jnp.sum(ohf[:, :, None] * dr_n[None, :, :], axis=1)
+        lvalid = jnp.any(onehot & cand[None, :], axis=1) & (
+            jnp.arange(NL) < max_neighbors
         )
         result, fail_idx = _lp2(pt, dr, lvalid, max_speed[i], pref_vel[i], False)
         needs_lp3 = fail_idx < NL

@@ -154,7 +154,7 @@ def bench_ga3c4_bf16(E, S):
     return _ga3c4(E, S, "ga3c4_bf16", dtype="bfloat16", pipeline=8)
 
 
-def _autoreset_serving(name, policy, E, S, reps=3):
+def _autoreset_serving(name, policy, E, S, reps=3, pipeline=4):
     # steady-state "serving" loop: episodes reset in-graph from a
     # scenario pool, so throughput includes reset + fresh-obs cost and
     # every step advances a LIVE episode (no masked-but-finished compute
@@ -198,9 +198,10 @@ def _autoreset_serving(name, policy, E, S, reps=3):
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        carry, _m = run(carry)
+        for _p in range(pipeline):
+            carry, _m = run(carry)
         _jax.block_until_ready(carry[0])
-        rates.append(E * S / (time.perf_counter() - t0))
+        rates.append(pipeline * E * S / (time.perf_counter() - t0))
     rates.sort()
     return {"config": name, "num_envs": E,
             "env_steps_per_sec": round(rates[len(rates) // 2], 1),

@@ -207,3 +207,30 @@ def test_rvo_wrapper_stop_and_turn():
     action = np.asarray(rvo_policy.rvo_kernel(state, cfg, None))
     assert action[0, 0] == 0.0
     np.testing.assert_allclose(abs(action[0, 1]), np.pi / 6, atol=1e-12)
+
+
+@pytest.mark.parametrize("A", [2, 4, 10])
+def test_orca_float32_matches_cpp_oracle(cpp_orca, A):
+    """float32 kernel parity — the TPU serving dtype.  The f64-only suite
+    once missed an f32-breaking bug (guard constants like 1e-300
+    underflow to 0 in f32, turning the degenerate self row into NaN in
+    the gather-free formulation); this pins the f32 path at f32-level
+    tolerance and asserts NaN-freedom."""
+    rng = np.random.RandomState(29 + A)
+    for trial in range(6):
+        pos = rng.uniform(-4, 4, (A, 2))
+        vel = rng.uniform(-1, 1, (A, 2))
+        pref = rng.uniform(-1, 1, (A, 2))
+        radius = rng.uniform(0.2, 0.5, A)
+        ms = np.ones(A)
+        collab = np.full(A, 0.5)
+        ref = cpp_orca(pos, vel, pref, radius, ms, collab, 0.2, 1e6, A, 5.0)
+        ours = np.asarray(orca.orca_velocities(
+            jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+            jnp.asarray(pref, jnp.float32), jnp.asarray(radius, jnp.float32),
+            jnp.asarray(ms, jnp.float32), jnp.asarray(collab, jnp.float32),
+            jnp.ones(A, bool), 0.2, 1e6, 5.0,
+        ))
+        assert np.isfinite(ours).all(), f"NaN/inf at A={A} trial={trial}"
+        np.testing.assert_allclose(ours, ref, atol=2e-3,
+                                   err_msg=f"A={A} trial={trial}")
