@@ -1,13 +1,18 @@
 """Multi-config throughput benchmark (TPU or CPU).
 
-Reports env-steps/s for the BASELINE.json config families:
-  - 4-agent NonCoop (headline, same as bench.py)
-  - 4-agent ORCA/RVO (LP solve in the loop)
-  - 4-agent CADRL (47-action lookahead + value net)
-  - 4-agent GA3C-CADRL (LSTM policy)
-  - 20-agent GA3C-CADRL + laserscan + static map
+Reports env-steps/s for the BASELINE.json config families and the
+round-4 additions:
+  - noncoop4 / autoreset4: 4-agent NonCoop (fixed scan / serving loop)
+  - rvo4 / orca4: 4-agent ORCA-RVO (fixed-scan kernel A/B / the
+    quotable steady-state serving row)
+  - cadrl4: 4-agent SA-CADRL (47-action lookahead + value net)
+  - ga3c4 / ga3c4_bf16 / ga3c4_serving: 4-agent GA3C-CADRL (LSTM)
+  - ga3c20_laser: 20-agent GA3C + sparse laserscan + static map
+  - ga3c40: the reference's LargeNumAgents regime (informational)
+  - ppo_train: on-device PPO training throughput
 
 Usage: python scripts/bench_all.py [--envs 4096] [--steps 128] [--cpu]
+           [--configs name ...]
 """
 
 import argparse
