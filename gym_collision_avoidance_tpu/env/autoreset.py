@@ -60,11 +60,15 @@ def _pack_pool(tree, acc):
     int32 leaves hold values far below 2**24, bools are 0/1.
     """
     leaves, treedef = jax.tree.flatten(tree)
+    # ONE bulk transfer: per-leaf np.asarray paid a full host round trip
+    # per leaf (~120 leaves x ~0.4 s through the axon tunnel dominated
+    # trainer construction at ~50 s, round 4)
+    leaves_host = jax.device_get(leaves)
     plan = []
     cols = []
     off = 0
-    for leaf in leaves:
-        host = np.asarray(leaf)
+    for leaf, host in zip(leaves, leaves_host):
+        host = np.asarray(host)
         if (
             leaf.size == 0
             or jnp.issubdtype(leaf.dtype, jnp.unsignedinteger)
@@ -165,9 +169,16 @@ def make_autoreset_step(
     # serving loop ~100x slower than the plain step.  Selecting a
     # precomputed row by one-hot contraction is a tiny [E, N] x [N, ...]
     # matmul instead.
-    pool_states, pool_obs = jax.vmap(
-        lambda case: env_reset(
-            state_from_case(cfg, case, policy_id), cfg, sensors, states_in_obs
+    # jit: without it the vmapped reset dispatches eagerly op-by-op —
+    # through the axon tunnel that cost ~50 s of trainer/server
+    # construction (round 4); as one jitted program it is a single
+    # (persistently cacheable) compile + one execution
+    pool_states, pool_obs = jax.jit(
+        jax.vmap(
+            lambda case: env_reset(
+                state_from_case(cfg, case, policy_id), cfg, sensors,
+                states_in_obs,
+            )
         )
     )(pool)
 

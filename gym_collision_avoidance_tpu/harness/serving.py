@@ -100,9 +100,12 @@ class AutoresetServer:
             )
 
         self._run = run
-        states = jax.vmap(
-            lambda i: autoreset.state_from_case(
-                cfg, pool[i % N], jnp.asarray(policy_id)
+        # jit: one program instead of eager per-op dispatch at startup
+        states = jax.jit(
+            jax.vmap(
+                lambda i: autoreset.state_from_case(
+                    cfg, pool[i % N], jnp.asarray(policy_id)
+                )
             )
         )(jnp.arange(self.num_envs))
         self._carry = (states, jnp.arange(self.num_envs, dtype=jnp.int32))

@@ -360,7 +360,9 @@ def make_ppo(
             )
             return env_reset(st, cfg, sensors, states_in_obs)
 
-        return jax.vmap(one)(jnp.arange(E))
+        # jit: eager vmapped resets dispatch op-by-op (through the axon
+        # tunnel that cost ~30 s of trainer startup, round 4)
+        return jax.jit(jax.vmap(one))(jnp.arange(E))
 
     def init_fn(rng):
         params = net_init(rng)

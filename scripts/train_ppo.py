@@ -77,6 +77,12 @@ def main():
 
     import jax
 
+    from gym_collision_avoidance_tpu.utils.jaxcache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
