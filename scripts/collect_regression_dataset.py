@@ -18,6 +18,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    from gym_collision_avoidance_tpu.utils.jaxcache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     if args.cpu:
         import jax
 
