@@ -134,11 +134,21 @@ def main():
     for name, fn_name, (envs, steps) in PROFILE_ROWS:
         try:
             row = getattr(bench_all, fn_name)(envs, steps)
-            if row.get("env_steps_per_sec", 0) > 1e9:
-                # physically impossible on one chip — a timing glitch
-                # (seen once, first-populating compile-cache run);
-                # re-measure rather than publish garbage
+            # physically impossible on one chip — a timing glitch (seen
+            # once, first-populating compile-cache run); re-measure with
+            # a retry cap, and record an error row rather than ever
+            # publishing a rate that stays impossible
+            for _retry in range(2):
+                if row.get("env_steps_per_sec", 0) <= 1e9:
+                    break
                 row = getattr(bench_all, fn_name)(envs, steps)
+            else:
+                row = {
+                    "config": name,
+                    "error": "rate >1e9 env-steps/s persisted across "
+                             "3 measurements (physically impossible on "
+                             "one chip); not publishing",
+                }
         except Exception:  # a profile row must never kill the headline
             row = {"config": name, "error": traceback.format_exc(limit=2)}
         profile.append(row)

@@ -119,6 +119,9 @@ def make_autoreset_step(
     params=None,
     packed: bool = False,
     mxu_pick_min_size: int = 1,
+    static_map=None,
+    static_cells=None,
+    return_info: bool = False,
 ):
     """Build a single-env step fn with reset-where-done semantics.
 
@@ -154,6 +157,14 @@ def make_autoreset_step(
         (the reference's gym-loop ``step(actions)`` argument,
         envs/collision_avoidance_env.py:208-218) consumed by EXTERNAL /
         LEARNING / LEARNING_GA3C / CARRL agents; internal agents ignore it.
+
+        With ``return_info=True`` the step returns a sixth element: the
+        inner ``env_step`` info dict (including the conditionally-exact
+        laserscan's ``laserscan_exactness_overflow`` guard flag) — on
+        reset steps the info describes the step that ENDED the old
+        episode, which is exactly the step whose exactness the guard
+        certifies.  ``static_map`` / ``static_cells`` plumb through to
+        ``env_step`` for laserscan/occupancy configs.
     """
     from gym_collision_avoidance_tpu.env.step import env_reset
 
@@ -161,6 +172,22 @@ def make_autoreset_step(
     N = pool.shape[0]
     policy_id = jnp.asarray(policy_id, jnp.int32)
     acc = jnp.dtype(cfg.dtype)
+
+    fast_laser = cfg.laserscan_entry_window is not None or \
+        cfg.laserscan_num_candidate_discs is not None
+    if (fast_laser and static_cells is not None and not return_info
+            and any((s if isinstance(s, str) else s[0]) == "laserscan"
+                    for s in sensors)):
+        # The fast laserscan paths are conditionally exact and the
+        # contract (config.py) requires every consumer to check the
+        # in-graph "laserscan_exactness_overflow" guard; without
+        # return_info this step would silently drop it.
+        raise ValueError(
+            "cfg enables a conditionally-exact laserscan fast path "
+            "(laserscan_entry_window / laserscan_num_candidate_discs); "
+            "build the autoreset step with return_info=True and check "
+            "info['laserscan_exactness_overflow'] every step"
+        )
 
     # Precompute every pool entry's freshly-reset state AND its first
     # observation ONCE at build time.  The previous version re-ran
@@ -177,7 +204,7 @@ def make_autoreset_step(
         jax.vmap(
             lambda case: env_reset(
                 state_from_case(cfg, case, policy_id), cfg, sensors,
-                states_in_obs,
+                states_in_obs, static_map, static_cells,
             )
         )
     )(pool)
@@ -240,9 +267,9 @@ def make_autoreset_step(
         return leaf[0]
 
     def step(state: EnvState, counter, external=None):
-        state, obs, rewards, game_over, _info = env_step(
+        state, obs, rewards, game_over, info = env_step(
             state, external, cfg, params, active_policies, sensors,
-            states_in_obs,
+            states_in_obs, static_map, static_cells,
         )
 
         # Standard autoreset contract (cf. DummyVecEnv reset-on-done,
@@ -265,6 +292,8 @@ def make_autoreset_step(
         next_state = jax.tree.map(sel, fresh, state)
         obs = jax.tree.map(sel, fresh_obs, obs)
         counter = counter + game_over.astype(jnp.int32)
+        if return_info:
+            return next_state, counter, obs, rewards, game_over, info
         return next_state, counter, obs, rewards, game_over
 
     return step

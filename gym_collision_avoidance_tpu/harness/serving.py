@@ -55,6 +55,12 @@ class AutoresetServer:
         collect: obs keys returned stacked per dispatch (e.g.
             ``("other_agents_states",)``); empty tuple = throughput mode
             (only scalar metrics survive).
+        static_map / static_cells: map inputs for laserscan /
+            occupancy-grid configs (as in ``env.step.env_step``).  When
+            the config enables a conditionally-exact laserscan fast path,
+            its in-graph guard is accumulated across every step and
+            surfaced both per-dispatch (``out["exactness_overflow"]``)
+            and cumulatively (:meth:`exactness_overflow`).
         active_policies / params / sensors / states_in_obs: as in
             :func:`env.autoreset.make_autoreset_step`.
     """
@@ -71,6 +77,8 @@ class AutoresetServer:
         params=None,
         sensors: Sequence[str] = ("other_agents_states",),
         states_in_obs: Sequence[str] = obs_spec.DEFAULT_STATES_IN_OBS,
+        static_map=None,
+        static_cells=None,
     ):
         pool = jnp.asarray(pool, jnp.dtype(cfg.dtype))
         policy_id = np.asarray(policy_id, np.int32)
@@ -79,19 +87,25 @@ class AutoresetServer:
         astep = autoreset.make_autoreset_step(
             cfg, pool, jnp.asarray(policy_id), active_policies,
             tuple(sensors), tuple(states_in_obs), params,
+            static_map=static_map, static_cells=static_cells,
+            return_info=True,
         )
         self.num_envs = int(num_envs)
         self.steps_per_dispatch = int(steps_per_dispatch)
         N = pool.shape[0]
 
         def body(carry, _):
-            st, c = carry
-            st, c, obs, rew, go = jax.vmap(astep)(st, c)
+            st, c, ovf = carry
+            st, c, obs, rew, go, info = jax.vmap(astep)(st, c)
             out = {k: obs[k] for k in collect}
             out["mean_reward"] = jnp.mean(rew)
             # keep the sensor pipeline live even in throughput mode
             out["obs_checksum"] = jnp.sum(obs["dist_to_goal"])
-            return (st, c), out
+            if "laserscan_exactness_overflow" in info:
+                step_ovf = jnp.any(info["laserscan_exactness_overflow"])
+                out["exactness_overflow"] = step_ovf
+                ovf = ovf | step_ovf
+            return (st, c, ovf), out
 
         @jax.jit
         def run(carry):
@@ -108,7 +122,11 @@ class AutoresetServer:
                 )
             )
         )(jnp.arange(self.num_envs))
-        self._carry = (states, jnp.arange(self.num_envs, dtype=jnp.int32))
+        self._carry = (
+            states,
+            jnp.arange(self.num_envs, dtype=jnp.int32),
+            jnp.asarray(False),
+        )
 
     def dispatch(self):
         """Enqueue one S-step dispatch; returns the stacked outputs as
@@ -122,10 +140,20 @@ class AutoresetServer:
         return self._carry[0]
 
     def episodes_completed(self) -> int:
-        """Total episodes finished since construction (syncs)."""
-        return int(
-            jnp.sum(self._carry[1] - jnp.arange(self.num_envs))
-        )
+        """Total episodes finished since construction (syncs).
+
+        Summed in int64 on host: a long-lived server can exceed 2**31
+        total episodes across envs long before any single env's int32
+        counter wraps.
+        """
+        counters = np.asarray(self._carry[1], np.int64)
+        return int(np.sum(counters - np.arange(self.num_envs, dtype=np.int64)))
+
+    def exactness_overflow(self) -> bool:
+        """True if any step since construction tripped the laserscan
+        exactness guard (always False for configs without the
+        conditionally-exact fast paths; syncs)."""
+        return bool(self._carry[2])
 
     def throughput(self, reps: int = 3, pipeline: int = 8):
         """Measured steady-state env-steps/s (median of ``reps``, each

@@ -123,35 +123,39 @@ def main(argv=None):
 
     finals, results = {}, []
     fail = False
-    for name, C, W, lay, *rest in all_variants:
-        sensors._WN_SUBLANE = lay
-        sensors._FOLD_CW = len(rest) > 1 and rest[1]
-        cfg = make_cfg(C, W, rest[0] if rest else None)
-        run = build(cfg, S, params, sc, cells)
-        st, m = run(states0)  # compile + warmup
-        jax.block_until_ready(st)
-        if bool(jnp.any(m[1])):
-            print(f"{name}: GUARD TRIPPED (exactness overflow)")
-            fail = True
-        finals[name] = st
-        rates = []
-        st = states0
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            st, m = run(st)
+    sublane0, fold0 = sensors._WN_SUBLANE, sensors._FOLD_CW
+    try:
+        for name, C, W, lay, *rest in all_variants:
+            sensors._WN_SUBLANE = lay
+            sensors._FOLD_CW = len(rest) > 1 and rest[1]
+            cfg = make_cfg(C, W, rest[0] if rest else None)
+            run = build(cfg, S, params, sc, cells)
+            st, m = run(states0)  # compile + warmup
             jax.block_until_ready(st)
-            rates.append(E * S / (time.perf_counter() - t0))
             if bool(jnp.any(m[1])):
-                print(f"{name}: GUARD TRIPPED mid-bench")
+                print(f"{name}: GUARD TRIPPED (exactness overflow)")
                 fail = True
-        rates.sort()
-        row = {"variant": name,
-               "env_steps_per_sec": round(rates[len(rates) // 2], 1),
-               "spread_min": round(rates[0], 1),
-               "spread_max": round(rates[-1], 1)}
-        results.append(row)
-        print(json.dumps(row))
-    sensors._WN_SUBLANE = False
+            finals[name] = st
+            rates = []
+            st = states0
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                st, m = run(st)
+                jax.block_until_ready(st)
+                rates.append(E * S / (time.perf_counter() - t0))
+                if bool(jnp.any(m[1])):
+                    print(f"{name}: GUARD TRIPPED mid-bench")
+                    fail = True
+            rates.sort()
+            row = {"variant": name,
+                   "env_steps_per_sec": round(rates[len(rates) // 2], 1),
+                   "spread_min": round(rates[0], 1),
+                   "spread_max": round(rates[-1], 1)}
+            results.append(row)
+            print(json.dumps(row))
+    finally:
+        # restore BOTH module globals for any in-process caller
+        sensors._WN_SUBLANE, sensors._FOLD_CW = sublane0, fold0
 
     ref = finals["base"]
     for name in finals:

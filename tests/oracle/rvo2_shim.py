@@ -93,6 +93,17 @@ class PyRVOSimulator:
 
 def install():
     """Register this module as ``rvo2`` (idempotent; must run before the
-    reference package first imports)."""
-    if "rvo2" not in sys.modules:
-        sys.modules["rvo2"] = sys.modules[__name__]
+    reference package first imports).
+
+    If a real Python-RVO2 is installed (importable but not yet imported),
+    leave it alone — the reference-env oracle should stay independent of
+    the C++ oracle whenever the genuine library exists.
+    """
+    import importlib.util
+
+    if "rvo2" in sys.modules:
+        return
+    if importlib.util.find_spec("rvo2") is not None:
+        print("rvo2_shim: real Python-RVO2 found; shim NOT installed")
+        return
+    sys.modules["rvo2"] = sys.modules[__name__]
