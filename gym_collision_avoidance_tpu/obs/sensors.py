@@ -31,6 +31,12 @@ _INF = jnp.inf
 # output row.
 SENSOR_MXU_MIN_A = 1 << 30
 
+# Round-5 A/B flag (scripts/ab_sensor_r5.py): fold the 7 per-field
+# one-hot masked sums + output concatenate into ONE broadcast reduce
+# whose output is [A, K, 7] directly (input-side field stack).
+# Bit-identical; see the variant comment in other_agents_states.
+_SELECT_STACK_IN = False
+
 # LaserScan geometry (hard-coded in the reference,
 # envs/sensors/LaserScanSensor.py:32-39).
 LASER_RANGE_RESOLUTION = 0.1
@@ -1180,7 +1186,19 @@ def other_agents_states(state, cfg):
     onehot_f = onehot.astype(dtype)                                   # [A, K, A]
 
     fields = (p_par, p_orth, v_par, v_orth, other_r, combined_r, d2other)
-    if A >= SENSOR_MXU_MIN_A:
+    if _SELECT_STACK_IN:
+        # Round-5 A/B variant: ONE broadcast masked-sum whose output IS
+        # [A, K, 7] — the per-field form (below) ends in a 6-output
+        # reduce fusion plus a separate [E, A, K, 7] concatenate
+        # (together ~29% of the headline serving step's device time,
+        # round-5 trace); here the field stack moves to the INPUT side
+        # where it can fuse into the reduce.  Bit-identical: the same
+        # one-summand masked sum per (h, k, f).
+        stacked = jnp.stack([f.astype(dtype) for f in fields], axis=-1)
+        rows = jnp.sum(
+            onehot_f[:, :, :, None] * stacked[:, None, :, :], axis=2
+        )                                                             # [A, K, 7]
+    elif A >= SENSOR_MXU_MIN_A:
         # Bit-identical MXU variant (see SENSOR_MXU_MIN_A: disabled —
         # measured slower; the 7-wide output starves the MXU even with
         # the A-wide contraction).

@@ -1,4 +1,10 @@
-"""Profile the autoreset4 bench config on TPU and summarize the trace."""
+"""Profile the autoreset4 bench config on TPU and summarize the trace.
+
+Usage: profile_autoreset.py [E] [S] — defaults 4096 64; the round-5
+headline roofline ran it at the bench's E=16384 (S=128: the scan body is
+the same program at any length, so per-step device-time fractions match
+the S=1024 headline while the trace stays tractable).
+"""
 
 import glob
 import gzip
@@ -18,7 +24,8 @@ from gym_collision_avoidance_tpu.env import autoreset
 from gym_collision_avoidance_tpu.policies import registry as P
 from gym_collision_avoidance_tpu.scenarios import random_cases
 
-E, S = 4096, 64
+E = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 cfg = EnvConfig(dtype="float32", done_mode="evaluate")
 pool = jnp.asarray(random_cases.scenario_pool(64, 4, seed=0, side_length=4.0),
                    jnp.float32)
@@ -43,6 +50,8 @@ def run(carry):
 
 
 carry = (states, counters)
+compiled = run.lower(carry).compile()
+hlo_text = compiled.as_text()
 carry, _ = run(carry)
 jax.block_until_ready(carry[0])
 
@@ -55,16 +64,8 @@ t0 = time.perf_counter()
 carry, _m = run(carry)
 jax.block_until_ready(carry[0])
 dt = time.perf_counter() - t0
-print(f"steady: {E * S / dt:.1f} env-steps/s")
+print(f"steady (single blocking dispatch): {E * S / dt:.1f} env-steps/s")
 
-files = glob.glob(outdir + "/**/*.trace.json.gz", recursive=True)
-ev = json.load(gzip.open(sorted(files)[-1]))["traceEvents"]
-dur = defaultdict(float)
-for e in ev:
-    if e.get("ph") == "X" and "dur" in e:
-        name = e.get("name", "?")
-        if len(name) < 120 and not name.startswith(("$", "Thread", "process")):
-            dur[name] += e["dur"]
-total = sum(dur.values())
-for name, d in sorted(dur.items(), key=lambda kv: -kv[1])[:30]:
-    print(f"{d/1e3:9.2f} ms  {100*d/max(total,1):5.1f}%  {name}")
+from gym_collision_avoidance_tpu.utils import traceattr
+
+traceattr.print_report(outdir, hlo_text, steps=S, envs=E)
