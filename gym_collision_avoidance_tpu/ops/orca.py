@@ -30,6 +30,18 @@ import jax.numpy as jnp
 
 EPS = 1e-5  # RVO_EPSILON
 
+# Statically unroll the LP1/LP2/LP3 constraint-insertion loops when the
+# line count is at most this (round 5): a rolled ``fori_loop`` at NL=3
+# pays while-loop re-entry per iteration and traces every ``_lp1`` with a
+# DYNAMIC prefix mask (``arange(NL) < k``), while the unrolled form makes
+# k a compile-time constant — the k=0 pass has an empty prefix and XLA
+# dead-code-eliminates the whole triangle above the diagonal.  The
+# op-by-op math is identical (same order, same masks), so trajectories
+# are bit-identical (A/B-verified on-chip, scripts/ab_orca_r5.py).  Kept
+# rolled above the threshold: at A=40 the LP3 nest would unroll to
+# ~NL^2 = 1500 _lp1 bodies and blow up compile time.
+UNROLL_MAX_NL = 8
+
 
 def _det(ax, ay, bx, by):
     return ax * by - ay * bx
@@ -98,7 +110,13 @@ def _lp2(pt, dr, lvalid, radius, opt_vel, direction_opt):
         fail_idx = jnp.where(active & fail, k, fail_idx)
         return result, fail_idx
 
-    return jax.lax.fori_loop(0, NL, body, (res0, jnp.asarray(NL)))
+    carry = (res0, jnp.asarray(NL))
+    if NL <= UNROLL_MAX_NL:
+        # static unroll: identical op sequence, k a compile-time constant
+        for k in range(NL):
+            carry = body(k, carry)
+        return carry
+    return jax.lax.fori_loop(0, NL, body, carry)
 
 
 def _lp3(pt, dr, lvalid, begin_line, radius, result):
@@ -136,7 +154,12 @@ def _lp3(pt, dr, lvalid, begin_line, radius, result):
         )
         return new_result, new_distance
 
-    result, _ = jax.lax.fori_loop(0, NL, body, (result, jnp.asarray(0.0, result.dtype)))
+    carry = (result, jnp.asarray(0.0, result.dtype))
+    if NL <= UNROLL_MAX_NL:
+        for i in range(NL):
+            carry = body(i, carry)
+        return carry[0]
+    result, _ = jax.lax.fori_loop(0, NL, body, carry)
     return result
 
 

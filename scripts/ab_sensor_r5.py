@@ -70,6 +70,9 @@ def main():
     try:
         for name, flag in (("base", False), ("stack_in", True)):
             sensors._SELECT_STACK_IN = flag
+            # inner @jax.jit (env_step) caches its trace across variant
+            # builds — clear so the flag actually takes effect
+            jax.clear_caches()
             run, carry0 = build(E, S)
             carry, _ = run(carry0)  # compile + warmup
             jax.block_until_ready(carry[0])
