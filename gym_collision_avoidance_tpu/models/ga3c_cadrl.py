@@ -31,6 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 HIDDEN = 64
+
+# Compute the LSTM's input-side gate GEMM per unrolled step instead of
+# precomputing the whole [B, T, 4H] x_gates tensor when the sequence is
+# at least this long (see _trunk_raw; round-5 ga3c40 trace/A-B).  Short
+# serving sequences (T <= 3) keep the batched precompute, which measured
+# faster there (round 2).
+_LAZY_X_MIN_T = 8
 NUM_ACTIONS = 11
 
 _WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
@@ -204,16 +211,29 @@ def _trunk_raw(params, seq_len, host, others):
     B, T = others.shape[0], others.shape[1]
     xn_dtype = others.dtype
 
-    # Precompute the input-side gate contributions for all timesteps in one
-    # big matmul (MXU-friendly); the scan then only does the small
-    # recurrent h-matmul per step.
     k_x = params["lstm_kernel"][:7]                            # [7, 4H]
     k_h = params["lstm_kernel"][7:]                            # [H, 4H]
-    x_gates = others @ k_x + params["lstm_bias"]               # [B, T, 4H]
+    lazy_x = T >= _LAZY_X_MIN_T
+    if lazy_x:
+        # Long-sequence regime (ga3c40's 19 slots): precomputing
+        # x_gates materializes a [B, T, 4H] tensor — the round-5 ga3c40
+        # trace had that single fusion at 26% of device time (17.8 ms
+        # per 64 steps at B=10240).  Computing each step's
+        # [B, 7] @ [7, 4H] inside the unrolled scan body keeps the same
+        # per-row dot (bit-identical: identical contraction over the
+        # same 7 values) and never materializes the big tensor.
+        x_gates = None
+    else:
+        # Short-sequence regime (T <= 3 serving configs): one batched
+        # matmul for all timesteps measured FASTER than per-step dots
+        # (the original round-2 choice); kept below the threshold.
+        x_gates = others @ k_x + params["lstm_bias"]           # [B, T, 4H]
 
     def scan_body(carry, inp):
         c, h = carry
         xg_t, t = inp
+        if x_gates is None:
+            xg_t = xg_t @ k_x + params["lstm_bias"]            # [B, 4H]
         gates = xg_t + h @ k_h
         i, j, f, o = jnp.split(gates, 4, axis=-1)
         new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
@@ -243,8 +263,10 @@ def _trunk_raw(params, seq_len, host, others):
         # step dynamic-slices x_gates into a fresh [1, B, 4H] scratch copy
         # (~28% of the serving step in the round-3 trace) — unrolled, the
         # slices are static and fuse into the gate arithmetic.
+        xs = others.swapaxes(0, 1) if x_gates is None \
+            else x_gates.swapaxes(0, 1)
         (c, h), _ = jax.lax.scan(
-            scan_body, init, (x_gates.swapaxes(0, 1), ts), unroll=True
+            scan_body, init, (xs, ts), unroll=True
         )
 
     z = jnp.concatenate([host, h], axis=-1)                    # [B, 68]
