@@ -63,6 +63,16 @@ class AutoresetServer:
             and cumulatively (:meth:`exactness_overflow`).
         active_policies / params / sensors / states_in_obs: as in
             :func:`env.autoreset.make_autoreset_step`.
+        mesh: optional :class:`jax.sharding.Mesh` with an ``env`` axis
+            (e.g. ``parallel.distributed.global_mesh()``).  The env
+            batch is sharded ``P("env")`` across every device; the step
+            is embarrassingly parallel, so the only collectives XLA
+            inserts are the scalar metric reductions (mean reward / obs
+            checksum / guard any-reduce) — the SPMD treatment SURVEY.md
+            §2.3 obligation 2 demands for the serving workload itself.
+            Sharded and unsharded servers produce bit-identical states
+            and episode counters (tests/test_parallel.py).
+            ``num_envs`` must divide the mesh device count.
     """
 
     def __init__(
@@ -79,6 +89,7 @@ class AutoresetServer:
         states_in_obs: Sequence[str] = obs_spec.DEFAULT_STATES_IN_OBS,
         static_map=None,
         static_cells=None,
+        mesh=None,
     ):
         pool = jnp.asarray(pool, jnp.dtype(cfg.dtype))
         policy_id = np.asarray(policy_id, np.int32)
@@ -95,23 +106,40 @@ class AutoresetServer:
         N = pool.shape[0]
 
         def body(carry, _):
-            st, c, ovf = carry
+            st, c = carry
             st, c, obs, rew, go, info = jax.vmap(astep)(st, c)
             out = {k: obs[k] for k in collect}
-            out["mean_reward"] = jnp.mean(rew)
-            # keep the sensor pipeline live even in throughput mode
-            out["obs_checksum"] = jnp.sum(obs["dist_to_goal"])
+            # Per-step metrics leave the scan UNREDUCED over the env axis
+            # ([E] rows, still sharded); the cross-env reduction happens
+            # once on the stacked [S, E] arrays after the scan.  Same
+            # values (the reduction commutes with stacking); on a device
+            # mesh this is 2 collectives per DISPATCH instead of 2 per
+            # step — the round-3 make_distributed_rollout lesson
+            # (SCALING.md), applied to the serving loop.
+            out["_rew_env"] = jnp.sum(rew, axis=-1)          # [E]
+            out["_obs_env"] = jnp.sum(obs["dist_to_goal"], axis=-1)
             if "laserscan_exactness_overflow" in info:
-                step_ovf = jnp.any(info["laserscan_exactness_overflow"])
-                out["exactness_overflow"] = step_ovf
-                ovf = ovf | step_ovf
-            return (st, c, ovf), out
+                out["_ovf_env"] = info["laserscan_exactness_overflow"]
+            return (st, c), out
+
+        n_agents = int(np.asarray(policy_id).shape[0])
 
         @jax.jit
         def run(carry):
-            return jax.lax.scan(
-                body, carry, None, length=self.steps_per_dispatch
+            (st, c), out = jax.lax.scan(
+                lambda sc_, _: body(sc_, _), (carry[0], carry[1]), None,
+                length=self.steps_per_dispatch,
             )
+            # post-scan cross-env reductions (one collective each under a
+            # mesh); keep the sensor pipeline live even in throughput mode
+            out["mean_reward"] = jnp.mean(out.pop("_rew_env"), axis=1) / n_agents
+            out["obs_checksum"] = jnp.sum(out.pop("_obs_env"), axis=1)
+            ovf = carry[2]
+            if "_ovf_env" in out:
+                step_ovf = jnp.any(out.pop("_ovf_env"), axis=1)  # [S]
+                out["exactness_overflow"] = step_ovf
+                ovf = ovf | jnp.any(step_ovf)
+            return (st, c, ovf), out
 
         self._run = run
         # jit: one program instead of eager per-op dispatch at startup
@@ -122,11 +150,28 @@ class AutoresetServer:
                 )
             )
         )(jnp.arange(self.num_envs))
-        self._carry = (
-            states,
-            jnp.arange(self.num_envs, dtype=jnp.int32),
-            jnp.asarray(False),
-        )
+        counters = jnp.arange(self.num_envs, dtype=jnp.int32)
+        ovf0 = jnp.asarray(False)
+        if mesh is not None:
+            # Shard the env axis of every carry leaf across the mesh;
+            # jit propagates the shardings through the (embarrassingly
+            # parallel) scan, so each device steps only its env shard.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            if self.num_envs % n_dev:
+                raise ValueError(
+                    f"num_envs={self.num_envs} must divide the "
+                    f"{n_dev}-device mesh"
+                )
+            env_sh = NamedSharding(mesh, P("env"))
+            rep_sh = NamedSharding(mesh, P())
+            states = jax.tree.map(
+                lambda x: jax.device_put(x, env_sh), states
+            )
+            counters = jax.device_put(counters, env_sh)
+            ovf0 = jax.device_put(ovf0, rep_sh)
+        self._carry = (states, counters, ovf0)
 
     def dispatch(self):
         """Enqueue one S-step dispatch; returns the stacked outputs as

@@ -122,6 +122,49 @@ def main(argv=None):
                                           if strong else best)})
         print(json.dumps(strong[-1]))
 
+    # Sharded SERVING pass (round 5): the in-graph autoreset loop behind
+    # the bench headline (AutoresetServer, mesh=...), weak + fixed work.
+    # Sharded == unsharded is bit-identical on states/counters
+    # (tests/test_parallel.py); this pass measures what the sharding
+    # COSTS/BUYS.  4 pipelined dispatches per rep, as a consumer runs it.
+    import numpy as _np
+
+    from gym_collision_avoidance_tpu.harness.serving import AutoresetServer
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    scfg = EnvConfig(dtype="float32", done_mode="evaluate")
+    pool = random_cases.scenario_pool(16, args.num_agents, seed=0,
+                                      side_length=4.0)
+    pid = _np.full(args.num_agents, 1, _np.int32)  # NONCOOP
+    serve_weak, serve_fixed = [], []
+    for n in sizes:
+        mesh = dist.global_mesh(devices=all_devices[:n])
+        for E, out_list in ((args.envs_per_device * n, serve_weak),
+                            (E_fixed, serve_fixed)):
+            server = AutoresetServer(
+                scfg, pool, pid, num_envs=E,
+                steps_per_dispatch=args.steps, mesh=mesh,
+            )
+            out = server.dispatch()  # compile + warmup
+            jax.block_until_ready(out["mean_reward"])
+            best = 0.0
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                for _p in range(4):
+                    out = server.dispatch()
+                jax.block_until_ready(out["mean_reward"])
+                best = max(
+                    best, 4 * E * args.steps / (time.perf_counter() - t0)
+                )
+            row = {"devices": n, "envs": E, "env_steps_per_s": best,
+                   "episodes": server.episodes_completed()}
+            if out_list:
+                row["vs_1dev"] = best / out_list[0]["env_steps_per_s"]
+                if out_list is serve_weak:
+                    row["efficiency"] = row["vs_1dev"] / n
+            out_list.append(row)
+            print(json.dumps(row))
+
     # DP-PPO pass: the FULL training iteration (autoreset rollout + GAE +
     # minibatched optimizer epochs, train/ppo.py) at fixed total work over
     # growing mesh sizes — measures the end-to-end data-parallel training
@@ -209,6 +252,37 @@ def main(argv=None):
             lines.append(
                 f"| {r['devices']} | {r['envs']} | "
                 f"{r['agent_steps_per_s']:.3e} | {r['vs_1dev']:.2f} |"
+            )
+        lines += [
+            "",
+            "## Sharded serving loop (AutoresetServer, weak + fixed work)",
+            "",
+            "The headline's in-graph autoreset serving loop on the mesh "
+            "(harness/serving.py, mesh=...; sharded==unsharded bit-"
+            "identical on states/episode counters, tests/test_parallel."
+            "py).  4 pipelined dispatches per rep.  Same reading rules "
+            "as the rollout tables.",
+            "",
+            "| devices | envs | env-steps/s | vs 1 dev | weak eff |",
+            "|---:|---:|---:|---:|---:|",
+        ]
+        for r in serve_weak:
+            lines.append(
+                f"| {r['devices']} | {r['envs']} | "
+                f"{r['env_steps_per_s']:.3e} | {r.get('vs_1dev', 1.0):.2f} "
+                f"| {r.get('efficiency', 1.0):.2f} |"
+            )
+        lines += [
+            "",
+            "fixed total work (same batch, growing mesh):",
+            "",
+            "| devices | envs | env-steps/s | vs 1 dev |",
+            "|---:|---:|---:|---:|",
+        ]
+        for r in serve_fixed:
+            lines.append(
+                f"| {r['devices']} | {r['envs']} | "
+                f"{r['env_steps_per_s']:.3e} | {r.get('vs_1dev', 1.0):.2f} |"
             )
         lines += [
             "",

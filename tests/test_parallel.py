@@ -67,6 +67,47 @@ def test_graft_dryrun_multichip():
     m.dryrun_multichip(8)
 
 
+def test_sharded_autoreset_server_matches_unsharded(mesh8):
+    """THE serving workload on the mesh (SURVEY §2.3 obligation 2): the
+    in-graph autoreset loop behind the bench headline, sharded P("env")
+    across 8 devices — episode counters and full state pytree must be
+    BIT-IDENTICAL to the single-device server after several dispatches
+    (per-env physics is device-placement-invariant; only the scalar
+    metric reductions cross devices)."""
+    from gym_collision_avoidance_tpu.harness.serving import AutoresetServer
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate")
+    pool = random_cases.scenario_pool(8, 4, seed=0, side_length=4.0)
+    policy_id = np.full(4, 1, np.int32)  # NONCOOP
+
+    def build(mesh):
+        return AutoresetServer(
+            cfg, pool, policy_id, num_envs=16, steps_per_dispatch=32,
+            mesh=mesh,
+        )
+
+    plain, sharded = build(None), build(mesh8)
+    for _ in range(3):
+        out_p = plain.dispatch()
+        out_s = sharded.dispatch()
+    # the scalar METRIC reductions are the one place sharding changes
+    # the float summation order (per-shard partial sums + cross-device
+    # reduce) — ulp-level difference expected, physics unaffected
+    np.testing.assert_allclose(
+        np.asarray(out_p["obs_checksum"]), np.asarray(out_s["obs_checksum"]),
+        rtol=1e-6,
+    )
+    assert plain.episodes_completed() == sharded.episodes_completed()
+    assert plain.episodes_completed() > 0  # episodes actually cycled
+    for a, b in zip(
+        jax.tree.leaves(plain.states()), jax.tree.leaves(sharded.states())
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the sharded carry really is distributed over all 8 devices
+    assert len(sharded.states().pos.sharding.device_set) == 8
+
+
 def test_sharded_nn_policy_step_matches_unsharded(mesh8):
     """The production pod-serving shape: env axis sharded over the mesh,
     GA3C params replicated — outputs bit-identical to the unsharded
