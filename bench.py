@@ -117,6 +117,92 @@ def _bench_serving(jax, jnp, num_envs=16384, num_steps=1024, reps=5,
     return rates, episodes
 
 
+def _exactness_check_mxu(jax, jnp, fault=False, num_envs=1024, num_steps=64):
+    """On-chip TPU-only-exactness tripwire, run every bench invocation.
+
+    Steps the headline serving loop twice from identical initial states —
+    once with the default MXU pool pick (per-leaf Precision.HIGHEST dots),
+    once with the reference masked sums (``mxu_pick_min_size`` huge) —
+    and demands BITWISE-equal final states and episode counters.  The
+    round-2/round-4 lesson class (bf16 dot operands silently rounding f32
+    on TPU while CPU CI sees exact math) is exactly what this catches:
+    with ``fault=True`` the pick's dots run at DEFAULT precision
+    (``autoreset._PICK_PRECISION``) and the check must TRIP on TPU
+    (``python bench.py --selftest-exactness`` proves it does).
+
+    Returns "ok" or a "MISMATCH: ..." string.  Seconds of chip time
+    (E=1024, one 64-step dispatch per variant).
+    """
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.policies import registry as P
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate")
+    pool = jnp.asarray(
+        random_cases.scenario_pool(64, 4, seed=0, side_length=4.0), jnp.float32
+    )
+    policy_id = np.full(4, P.NONCOOP, np.int32)
+
+    prec0 = autoreset._PICK_PRECISION
+    finals = {}
+    try:
+        if fault:
+            autoreset._PICK_PRECISION = jax.lax.Precision.DEFAULT
+        for name, min_size in (("mxu", 1), ("masked", 1 << 30)):
+            jax.clear_caches()  # inner-jit trace reuse (PERF.md round 5)
+            astep = autoreset.make_autoreset_step(
+                cfg, pool, policy_id, mxu_pick_min_size=min_size
+            )
+            states = jax.vmap(
+                lambda i: autoreset.state_from_case(cfg, pool[i % 64], policy_id)
+            )(jnp.arange(num_envs))
+
+            def body(carry, _):
+                st, c = carry
+                st, c, obs, rew, go = jax.vmap(astep)(st, c)
+                return (st, c), None
+
+            carry, _ = jax.jit(
+                lambda c: jax.lax.scan(body, c, None, length=num_steps)
+            )((states, jnp.arange(num_envs, dtype=jnp.int32)))
+            finals[name] = jax.device_get(carry)
+    finally:
+        autoreset._PICK_PRECISION = prec0
+
+    for (a, b) in zip(
+        jax.tree.leaves(finals["mxu"]), jax.tree.leaves(finals["masked"])
+    ):
+        if not np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True):
+            return (
+                "MISMATCH: MXU pool pick diverged from masked-sum reference "
+                f"(leaf dtype {np.asarray(a).dtype}, shape {np.shape(a)})"
+            )
+    return "ok"
+
+
+def _selftest_exactness():
+    """Prove the tripwire actually trips: clean run must pass, a
+    deliberate DEFAULT-precision pick must FAIL (TPU only — on CPU the
+    default dot is exact f32, which is precisely why this check exists).
+    Exits 0 iff both hold."""
+    import jax
+    import jax.numpy as jnp
+
+    clean = _exactness_check_mxu(jax, jnp)
+    print(json.dumps({"selftest": "clean", "result": clean}))
+    faulty = _exactness_check_mxu(jax, jnp, fault=True)
+    print(json.dumps({"selftest": "default-precision fault", "result": faulty}))
+    if clean != "ok":
+        sys.exit("FAIL: clean exactness check did not pass")
+    if faulty == "ok":
+        sys.exit(
+            "FAIL: deliberate default-precision fault was NOT caught "
+            "(expected on CPU; on TPU this means the tripwire is broken)"
+        )
+    print("selftest ok: clean passes, injected fault trips")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -154,6 +240,23 @@ def main():
         profile.append(row)
         print(json.dumps(row), flush=True)
 
+    # On-chip exactness tripwires (VERDICT r4 item 3): the MXU-pick vs
+    # masked-sum bitwise A/B, plus the f32 NaN-freedom probes the serving
+    # profile rows carry (nan_free).  Any failure is recorded in the
+    # headline JSON — a bench number for a physically wrong simulation
+    # must never look clean.
+    try:
+        mxu_check = _exactness_check_mxu(jax, jnp)
+    except Exception:
+        mxu_check = "ERROR: " + traceback.format_exc(limit=2)
+    nan_rows = {
+        r["config"]: r["nan_free"] for r in profile if "nan_free" in r
+    }
+    exactness = (
+        "ok" if mxu_check == "ok" and all(nan_rows.values())
+        else f"FAIL: mxu_pick={mxu_check}, nan_free={nan_rows}"
+    )
+
     rates, episodes = _bench_serving(jax, jnp)
     headline = float(np.median(rates))
 
@@ -167,6 +270,7 @@ def main():
                 "spread_min": round(min(rates), 1),
                 "spread_max": round(max(rates), 1),
                 "episodes_completed": episodes,
+                "exactness_checks": exactness,
                 "profile": {
                     r["config"]: r.get("env_steps_per_sec", r.get("error"))
                     for r in profile
@@ -174,6 +278,11 @@ def main():
             }
         )
     )
+
+
+if __name__ == "__main__" and "--selftest-exactness" in sys.argv:
+    _selftest_exactness()
+    sys.exit(0)
 
 
 if __name__ == "__main__":

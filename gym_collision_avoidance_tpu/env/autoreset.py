@@ -26,6 +26,16 @@ from gym_collision_avoidance_tpu.obs import spec as obs_spec
 from gym_collision_avoidance_tpu.policies import registry as policies
 
 
+# Precision of the MXU pool-pick dots (see make_autoreset_step docs).
+# HIGHEST is a correctness requirement, not a tuning knob: the bf16x3
+# split sums back exactly against the exact one-hot, while DEFAULT
+# (single-pass bf16 operands) silently rounds every selected f32 value
+# ON TPU ONLY — the exact bug class of PERF.md rounds 2/4.  Exposed as a
+# module constant so `bench.py --selftest-exactness` can inject the
+# DEFAULT-precision fault and prove the bench's exactness check trips.
+_PICK_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def state_from_case(cfg: EnvConfig, case, policy_id, dynamics_id=None, rng=None):
     """Jit-compatible state construction from a [A, 6] case row
     ([px, py, gx, gy, pref_speed, radius]); heading points at the goal
@@ -250,7 +260,7 @@ def make_autoreset_step(
                 row = jax.lax.dot_general(
                     onehot_f.astype(vals.dtype)[None, :], flat,
                     (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_PICK_PRECISION,
                 )[0]
                 return row.reshape(vals.shape[1:])
             oh = onehot_f.astype(vals.dtype).reshape((vals.shape[0],) + (1,) * (vals.ndim - 1))

@@ -208,10 +208,20 @@ def _autoreset_serving(name, policy, E, S, reps=3, pipeline=4):
         _jax.block_until_ready(carry[0])
         rates.append(pipeline * E * S / (time.perf_counter() - t0))
     rates.sort()
+    # f32 NaN-freedom probe over the final serving states (free — no
+    # extra compile): the round-4 ORCA f32 lesson (1e-300 guards
+    # underflowing to 0/0=NaN) was visible only through a changed
+    # episode count; this makes it driver-visible every bench run.
+    nan_free = all(
+        bool(jnp.all(jnp.isfinite(x)))
+        for x in _jax.tree.leaves(carry[0])
+        if jnp.issubdtype(x.dtype, jnp.floating)
+    )
     return {"config": name, "num_envs": E,
             "env_steps_per_sec": round(rates[len(rates) // 2], 1),
             "spread_min": round(rates[0], 1),
             "spread_max": round(rates[-1], 1),
+            "nan_free": nan_free,
             "episodes_completed": int(jnp.sum(carry[1] - jnp.arange(E)))}
 
 
