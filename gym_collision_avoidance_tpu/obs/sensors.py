@@ -37,6 +37,12 @@ SENSOR_MXU_MIN_A = 1 << 30
 # Bit-identical; see the variant comment in other_agents_states.
 _SELECT_STACK_IN = False
 
+# Round-5 A/B flag (scripts/ab_laser_r5.py): run the windowed/beam-
+# compacted laserscan block as a fused Pallas VMEM kernel
+# (ops/laser_pallas.py) instead of the XLA staged form — kills the
+# packed-field materialization (17% of the r4 roofline).  f32 only.
+_WBC_PALLAS = False
+
 # LaserScan geometry (hard-coded in the reference,
 # envs/sensors/LaserScanSensor.py:32-39).
 LASER_RANGE_RESOLUTION = 0.1
@@ -906,6 +912,11 @@ def laserscan_sparse(state, cfg, static_cells, ego_idx=None,
         kern = (_windowed_beam_compacted
                 if cfg.laserscan_beam_slots is not None
                 else _windowed_first_two_hits)
+        if (_WBC_PALLAS and cfg.laserscan_beam_slots is not None
+                and dtype == jnp.float32):
+            from gym_collision_avoidance_tpu.ops.laser_pallas import (
+                windowed_beam_compacted_pallas as kern,
+            )
         return kern(
             pos_e, gi_e, gj_e, rsq_e, cos_b, sin_b,
             gi_d, gj_d, rsq_d, cx_d, cy_d, cfg, H, W, Wn, dtype,
