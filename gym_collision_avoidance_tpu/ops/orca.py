@@ -42,27 +42,61 @@ EPS = 1e-5  # RVO_EPSILON
 # ~NL^2 = 1500 _lp1 bodies and blow up compile time.
 UNROLL_MAX_NL = 8
 
+# Run the (unrolled) LPs on the NATURAL-order line set with rank-prefix
+# masks instead of permuting lines into rank order first (round 5): the
+# post-unroll orca4 trace had the one-hot permute as the top op (~8% of
+# the step).  Bit-identical — the prefix reductions are min/max/any
+# (order-independent) and the pivot select has one nonzero term — but a
+# measured NEGATIVE, default OFF: 2.79e7 vs 3.87e7 at E=16384/S=128
+# (scripts/ab_orca_r5.py --natural).  The ~24 per-pivot one-row masked
+# selects (every _lp1/_lp2/_lp3 body, including the LP3-nested LP2s)
+# cost more than the single up-front permute they replace, which
+# amortizes over the whole LP chain.  Kept as a validated variant.
+NATURAL_LP = False
+
 
 def _det(ax, ay, bx, by):
     return ax * by - ay * bx
 
 
-def _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt):
+def _sel_row(arr, selv):
+    """Select the (at most one) row of ``arr`` where ``selv`` is True, by
+    one-term masked sum — exact (adding zeros is exact for finite values;
+    callers zero any non-finite rows first)."""
+    return jnp.sum(jnp.where(selv[:, None], arr, 0.0), axis=0)
+
+
+def _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt, rank=None):
     """Solve on line k subject to lines j < k and the disc (linearProgram1).
+
+    With ``rank=None`` the constraint arrays are ALREADY in insertion
+    (distance-rank) order and k indexes rows directly.  With ``rank``
+    given ([NA] int, a permutation), the arrays stay in NATURAL row
+    order and k is a POSITION in rank order: the pivot line is the row
+    with rank == k and the prefix is ``rank < k`` — all reductions
+    (min/max/any) are order-independent, so results are bit-identical
+    to the permuted form while skipping the one-hot permute of the
+    whole constraint set (the orca4 trace's top op after the round-5
+    unroll, ~8% of the step).
 
     Returns (fail, result[2]).
     """
     NL = pt.shape[0]
-    p_k = pt[k]
-    d_k = dr[k]
+    if rank is None:
+        p_k = pt[k]
+        d_k = dr[k]
+        mask = (jnp.arange(NL) < k) & lvalid
+    else:
+        selv = rank == k
+        p_k = _sel_row(pt, selv)
+        d_k = _sel_row(dr, selv)
+        mask = (rank < k) & lvalid
     dot_p = jnp.dot(p_k, d_k)
     disc = dot_p * dot_p + radius * radius - jnp.dot(p_k, p_k)
     fail0 = disc < 0.0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_left0 = -dot_p - sq
     t_right0 = -dot_p + sq
-
-    mask = (jnp.arange(NL) < k) & lvalid
     denom = _det(d_k[0], d_k[1], dr[:, 0], dr[:, 1])
     numer = _det(dr[:, 0], dr[:, 1], p_k[0] - pt[:, 0], p_k[1] - pt[:, 1])
     small = jnp.abs(denom) <= EPS
@@ -85,12 +119,18 @@ def _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt):
     return fail, p_k + t_sel * d_k
 
 
-def _lp2(pt, dr, lvalid, radius, opt_vel, direction_opt):
+def _lp2(pt, dr, lvalid, radius, opt_vel, direction_opt, rank=None,
+         num_lines=None):
     """Sequential constraint insertion (linearProgram2).
 
-    Returns (result[2], fail_idx) with fail_idx == NL on success.
+    ``rank`` as in :func:`_lp1` (natural-order arrays, rank-order
+    insertion); ``num_lines`` is the insertion count when it differs
+    from the array length (natural arrays carry the self row, which
+    never holds a rank < NL).
+
+    Returns (result[2], fail_idx) with fail_idx == num_lines on success.
     """
-    NL = pt.shape[0]
+    NL = pt.shape[0] if num_lines is None else num_lines
     if direction_opt:
         res0 = radius * opt_vel
     else:
@@ -103,9 +143,19 @@ def _lp2(pt, dr, lvalid, radius, opt_vel, direction_opt):
 
     def body(k, carry):
         result, fail_idx = carry
-        violated = _det(dr[k, 0], dr[k, 1], pt[k, 0] - result[0], pt[k, 1] - result[1]) > 0.0
-        active = lvalid[k] & (fail_idx == NL) & violated
-        fail, res = _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt)
+        if rank is None:
+            p_k = pt[k]
+            d_k = dr[k]
+            lvalid_k = lvalid[k]
+        else:
+            selv = rank == k
+            p_k = _sel_row(pt, selv)
+            d_k = _sel_row(dr, selv)
+            lvalid_k = jnp.any(selv & lvalid)
+        violated = _det(d_k[0], d_k[1], p_k[0] - result[0], p_k[1] - result[1]) > 0.0
+        active = lvalid_k & (fail_idx == NL) & violated
+        fail, res = _lp1(pt, dr, lvalid, k, radius, opt_vel, direction_opt,
+                         rank=rank)
         result = jnp.where(active & ~fail, res, result)
         fail_idx = jnp.where(active & fail, k, fail_idx)
         return result, fail_idx
@@ -119,37 +169,55 @@ def _lp2(pt, dr, lvalid, radius, opt_vel, direction_opt):
     return jax.lax.fori_loop(0, NL, body, carry)
 
 
-def _lp3(pt, dr, lvalid, begin_line, radius, result):
-    """Densest-case fallback (linearProgram3): minimize max violation."""
-    NL = pt.shape[0]
+def _lp3(pt, dr, lvalid, begin_line, radius, result, rank=None,
+         num_lines=None):
+    """Densest-case fallback (linearProgram3): minimize max violation.
+
+    ``rank`` / ``num_lines`` as in :func:`_lp2`: with ``rank`` the
+    constraint arrays stay in natural row order and the loop index i is
+    a rank-order position (``begin_line`` is already a rank).
+    """
+    NL = pt.shape[0] if num_lines is None else num_lines
 
     def body(i, carry):
         result, distance = carry
-        viol = _det(dr[i, 0], dr[i, 1], pt[i, 0] - result[0], pt[i, 1] - result[1])
-        active = lvalid[i] & (i >= begin_line) & (viol > distance)
+        if rank is None:
+            p_i = pt[i]
+            d_i = dr[i]
+            lvalid_i = lvalid[i]
+            prefix = jnp.arange(NL) < i
+        else:
+            selv = rank == i
+            p_i = _sel_row(pt, selv)
+            d_i = _sel_row(dr, selv)
+            lvalid_i = jnp.any(selv & lvalid)
+            prefix = rank < i
+        viol = _det(d_i[0], d_i[1], p_i[0] - result[0], p_i[1] - result[1])
+        active = lvalid_i & (i >= begin_line) & (viol > distance)
 
         # Projected constraints of lines j < i onto line i.
-        denom = _det(dr[i, 0], dr[i, 1], dr[:, 0], dr[:, 1])
+        denom = _det(d_i[0], d_i[1], dr[:, 0], dr[:, 1])
         small = jnp.abs(denom) <= EPS
-        same_dir = small & (jnp.sum(dr[i] * dr, axis=1) > 0.0)
-        mid = 0.5 * (pt[i] + pt)
-        tproj = _det(dr[:, 0], dr[:, 1], pt[i, 0] - pt[:, 0], pt[i, 1] - pt[:, 1]) / jnp.where(
+        same_dir = small & (jnp.sum(d_i * dr, axis=1) > 0.0)
+        mid = 0.5 * (p_i + pt)
+        tproj = _det(dr[:, 0], dr[:, 1], p_i[0] - pt[:, 0], p_i[1] - pt[:, 1]) / jnp.where(
             small, 1.0, denom
         )
-        cross_pt = pt[i] + tproj[:, None] * dr[i]
+        cross_pt = p_i + tproj[:, None] * d_i
         proj_pt = jnp.where(small[:, None], mid, cross_pt)
-        dd = dr - dr[i]
+        dd = dr - d_i
         dd_norm = jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=1), 1e-300))
         proj_dr = dd / dd_norm[:, None]
-        pvalid = (jnp.arange(NL) < i) & lvalid & ~same_dir
+        pvalid = prefix & lvalid & ~same_dir
 
-        opt = jnp.stack([-dr[i, 1], dr[i, 0]])
-        res2, fail2 = _lp2(proj_pt, proj_dr, pvalid, radius, opt, True)
+        opt = jnp.stack([-d_i[1], d_i[0]])
+        res2, fail2 = _lp2(proj_pt, proj_dr, pvalid, radius, opt, True,
+                           rank=rank, num_lines=num_lines)
         ok = fail2 == NL
         new_result = jnp.where(active & ok, res2, result)
         new_distance = jnp.where(
             active,
-            _det(dr[i, 0], dr[i, 1], pt[i, 0] - new_result[0], pt[i, 1] - new_result[1]),
+            _det(d_i[0], d_i[1], p_i[0] - new_result[0], p_i[1] - new_result[1]),
             distance,
         )
         return new_result, new_distance
@@ -287,6 +355,21 @@ def orca_velocities(pos, vel, pref_vel, radius, max_speed, collab_coeff,
         pt_n = jnp.where(self_row, 0.0, pt_n)
         dr_n = jnp.where(self_row, 0.0, dr_n)
 
+        if use_natural:
+            # Natural-space LP (round 5): skip the one-hot permute of the
+            # whole line set — the LPs run on the natural rows with
+            # rank-prefix masks (``rank < k``) and one-row pivot selects.
+            # All reductions are order-independent, so this is
+            # bit-identical to the permuted form (A/B-verified on the
+            # serving loop, scripts/ab_orca_r5.py --natural).
+            lvalid_nat = cand & (rank < min(NL, max_neighbors))
+            result, fail_idx = _lp2(
+                pt_n, dr_n, lvalid_nat, max_speed[i], pref_vel[i], False,
+                rank=rank, num_lines=NL,
+            )
+            needs_lp3 = fail_idx < NL
+            return pt_n, dr_n, lvalid_nat, rank, result, fail_idx, needs_lp3
+
         onehot = rank[None, :] == slot[:, None]          # [NL, A]
         ohf = onehot.astype(dtype)
         pt = jnp.sum(ohf[:, :, None] * pt_n[None, :, :], axis=1)
@@ -296,23 +379,30 @@ def orca_velocities(pos, vel, pref_vel, radius, max_speed, collab_coeff,
         )
         result, fail_idx = _lp2(pt, dr, lvalid, max_speed[i], pref_vel[i], False)
         needs_lp3 = fail_idx < NL
-        return pt, dr, lvalid, result, fail_idx, needs_lp3
+        return pt, dr, lvalid, rank, result, fail_idx, needs_lp3
 
-    pt, dr, lvalid, result, fail_idx, needs_lp3 = jax.vmap(one)(jnp.arange(A))
+    use_natural = NL <= UNROLL_MAX_NL and NATURAL_LP
+    pt, dr, lvalid, rankv, result, fail_idx, needs_lp3 = jax.vmap(one)(
+        jnp.arange(A)
+    )
 
     # LP3 is rare (dense crowds); skip the whole pass when nobody failed.
     def run_lp3(args):
-        pt, dr, lvalid, result, fail_idx = args
+        pt, dr, lvalid, rankv, result, fail_idx = args
         return jax.vmap(
-            lambda p, d, lv, bl, r, res: jnp.where(
-                bl < NL, _lp3(p, d, lv, bl, r, res), res
+            lambda p, d, lv, rk, bl, r, res: jnp.where(
+                bl < NL,
+                _lp3(p, d, lv, bl, r, res,
+                     rank=rk if use_natural else None,
+                     num_lines=NL if use_natural else None),
+                res,
             )
-        )(pt, dr, lvalid, fail_idx, max_speed, result)
+        )(pt, dr, lvalid, rankv, fail_idx, max_speed, result)
 
     result = jax.lax.cond(
         jnp.any(needs_lp3),
         run_lp3,
-        lambda args: args[3],
-        (pt, dr, lvalid, result, fail_idx),
+        lambda args: args[4],
+        (pt, dr, lvalid, rankv, result, fail_idx),
     )
     return jnp.where(valid[:, None], result, jnp.zeros_like(result)).astype(dtype)

@@ -31,14 +31,24 @@ def main():
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--pipeline", type=int, default=8)
+    ap.add_argument("--natural", action="store_true",
+                    help="A/B the round-5 natural-space LP (permuted vs "
+                         "rank-masked) instead of rolled vs unrolled")
     args = ap.parse_args()
     E, S = args.envs, args.steps
 
+    if args.natural:
+        variants = (("permuted", (8, False)), ("natural", (8, True)))
+    else:
+        variants = (("rolled", (0, orca.NATURAL_LP)),
+                    ("unrolled", (8, orca.NATURAL_LP)))
+
     finals = {}
-    base = orca.UNROLL_MAX_NL
+    base = (orca.UNROLL_MAX_NL, orca.NATURAL_LP)
     try:
-        for name, thresh in (("rolled", 0), ("unrolled", 8)):
+        for name, (thresh, nat) in variants:
             orca.UNROLL_MAX_NL = thresh
+            orca.NATURAL_LP = nat
             # inner @jax.jit functions (env_step, orca_velocities) cache
             # their traces across variant builds — without this the second
             # variant silently reuses the first's program
@@ -62,17 +72,18 @@ def main():
                 "spread_max": round(rates[-1], 1),
             }))
     finally:
-        orca.UNROLL_MAX_NL = base
+        orca.UNROLL_MAX_NL, orca.NATURAL_LP = base
 
+    names = [n for n, _ in variants]
     ok = all(
         bool(np.array_equal(a, b, equal_nan=True))
         for a, b in zip(
-            jax.tree.leaves(finals["rolled"]), jax.tree.leaves(finals["unrolled"])
+            jax.tree.leaves(finals[names[0]]), jax.tree.leaves(finals[names[1]])
         )
     )
-    print(f"bitwise state+counter match rolled vs unrolled: {ok}")
+    print(f"bitwise state+counter match {names[0]} vs {names[1]}: {ok}")
     if not ok:
-        sys.exit("FAIL: unrolled LP diverged")
+        sys.exit("FAIL: LP variant diverged")
 
 
 if __name__ == "__main__":
