@@ -1,6 +1,6 @@
 """Trace + HLO-source attribution for the serving bench configs.
 
-Usage: profile_serving.py {orca4,ga3c40,ga3c4} [E] [S]
+Usage: profile_serving.py {orca4,ga3c40,ga3c4,cadrl4} [E] [S]
 
 Builds EXACTLY the loop the corresponding bench_all row times (orca4 /
 ga3c4: in-graph autoreset serving; ga3c40: the fixed-scan LargeNumAgents
@@ -52,6 +52,33 @@ def build_autoreset(policy, E, S, cfg_kwargs=None, params=None):
     return run, (states, jnp.arange(E, dtype=jnp.int32))
 
 
+def build_cadrl4(E, S):
+    from gym_collision_avoidance_tpu.env.batch import batched_env_step
+    from gym_collision_avoidance_tpu.models import cadrl as cadrl_net
+
+    cfg = EnvConfig(dtype="float32")
+    sc = presets.circle_scenario(4, radius=3.0, agent_radius=0.5,
+                                 policy="CADRL")
+    params = {"cadrl": cadrl_net.load_params(dtype=jnp.float32)}
+    state = sc.to_state(cfg)
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (E,) + x.shape), state
+    )
+
+    def body(states, _):
+        states, _o, rew, go, _i = batched_env_step(
+            states, None, cfg, params, sc.active_policies,
+            ("other_agents_states",), ("dist_to_goal",),
+        )
+        return states, (jnp.mean(rew), jnp.mean(go.astype(jnp.float32)))
+
+    @jax.jit
+    def run(states):
+        return jax.lax.scan(body, states, None, length=S)
+
+    return run, states
+
+
 def build_ga3c40(E, S):
     from gym_collision_avoidance_tpu.env.batch import batched_env_step
     from gym_collision_avoidance_tpu.models import ga3c_cadrl
@@ -97,6 +124,10 @@ def main():
                             agent_sorting_method="closest_last"),
             params={"ga3c_cadrl": ga3c_cadrl.load_params()},
         )
+    elif which == "cadrl4":
+        E = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+        S = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        run, carry = build_cadrl4(E, S)
     elif which == "ga3c40":
         E = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         S = int(sys.argv[3]) if len(sys.argv) > 3 else 64
