@@ -1088,6 +1088,34 @@ def _lex_rank(keys, idx):
     return jnp.sum(cmp, axis=-1)                          # [..., N] ranks
 
 
+def _lex_rank_masked(keys, idx, count_mask):
+    """Stable lexicographic rank counting only ``count_mask``-True
+    competitors, on RAW (unmasked) keys.
+
+    Value-identical to :func:`_lex_rank` on INF-masked keys for every
+    row the caller consumes (rows where ``count_mask`` holds): a
+    masked-out competitor contributes 0 either way — its INF key is
+    never ``less`` than and never equal to a finite one — and
+    masked-out rows' own ranks are unused by construction (``selected``
+    always conjoins the mask).  Skips materializing a where-masked copy
+    of every key, and lets XLA CSE the pairwise compares between the
+    clip rank and the closest_last re-rank (which share ``eq(d)`` and
+    the whole (p_orth, idx) tie-break tail on raw arrays — impossible
+    when each rank masks its own key copies; the two masked chains were
+    21% of the 40-agent step, round-5 trace).
+    """
+    def less(a):  # [..., N] -> [..., N, N]: a_j < a_i
+        return a[..., :, None] > a[..., None, :]
+
+    def eq(a):
+        return a[..., :, None] == a[..., None, :]
+
+    cmp = idx[:, None] > idx[None, :]
+    for k in reversed(keys):
+        cmp = less(k) | (eq(k) & cmp)
+    return jnp.sum(cmp & count_mask[..., None, :], axis=-1)
+
+
 def other_agents_states(state, cfg):
     """Sense the K closest other agents for every host agent.
 
@@ -1159,29 +1187,20 @@ def other_agents_states(state, cfg):
             combined_r,
         )
         # clip sorted by (-tti, -d, p_orth) ascending (":38").
-        clip_keys = (
-            jnp.where(visible, -tti, _INF),
-            jnp.where(visible, -d_rounded, _INF),
-            jnp.where(visible, p_orth, _INF),
-        )
+        clip_keys = (-tti, -d_rounded, p_orth)
     else:
         # closest_first / closest_last both clip by (d, p_orth) ascending
         # (":33-39").
-        clip_keys = (
-            jnp.where(visible, d_rounded, _INF),
-            jnp.where(visible, p_orth, _INF),
-        )
+        clip_keys = (d_rounded, p_orth)
 
-    rank = _lex_rank(clip_keys, idx)                                  # [A, A]
+    # raw keys + boolean competitor mask (see _lex_rank_masked: value-
+    # identical to INF-masked keys on every consumed row)
+    rank = _lex_rank_masked(clip_keys, idx, visible)                  # [A, A]
     selected = visible & (rank < K)
 
     # Re-sort the clipped K by the final ordering scheme (":41-50").
     if method == cfg_mod.SORT_CLOSEST_LAST:
-        final_keys = (
-            jnp.where(selected, -d_rounded, _INF),
-            jnp.where(selected, p_orth, _INF),
-        )
-        rank = _lex_rank(final_keys, idx)
+        rank = _lex_rank_masked((-d_rounded, p_orth), idx, selected)
     # closest_first and time_to_impact re-sort by the same key as the clip
     # sort, which is a no-op on a stable order.
 

@@ -394,8 +394,11 @@ def bench_ga3c20_laser(E, S):
 def bench_ga3c40(E, S):
     # the reference's LargeNumAgents regime (envs/config.py:236-252: 40
     # agents, 19 observed): O(A^2) sensing + 19-slot LSTM per agent.
-    # Informational row (not in the driver profile); pipeline=2 for the
-    # long dispatches.
+    # Informational row (not in the driver profile).  Official settings
+    # (round 5): --envs 16384 --steps 256 => E=512, S=256, pipeline=4 —
+    # the 64-step dispatches of earlier rounds paid ~13% dispatch
+    # overhead at the post-lazy-x speed (3.52e5 at S=64/p2 vs 4.03e5 at
+    # S=256/p4, 97% of the E=512 trace ceiling 4.15e5).
     import jax.numpy as jnp
 
     from gym_collision_avoidance_tpu import EnvConfig
@@ -407,7 +410,7 @@ def bench_ga3c40(E, S):
     sc = presets.circle_scenario(40, radius=10.0, agent_radius=0.3,
                                  policy="GA3C_CADRL")
     params = {"ga3c_cadrl": ga3c_cadrl.load_params()}
-    return bench_config("ga3c40", cfg, sc, params, E // 32, S, pipeline=2)
+    return bench_config("ga3c40", cfg, sc, params, E // 32, S, pipeline=4)
 
 
 CONFIGS = {
