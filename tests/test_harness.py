@@ -276,3 +276,53 @@ def test_autoreset_server_matches_direct_loop():
     np.testing.assert_array_equal(stacked, np.stack(d2g))
     assert server.episodes_completed() == int(
         jnp.sum(counters - jnp.arange(E)))
+
+
+def test_autoreset_server_laserscan_guard_surfacing():
+    """The laserscan fast-path exactness guard flows through the serving
+    API (round-4 advisor finding): a conditionally-exact config must
+    surface the in-graph flag per dispatch and cumulatively, and the
+    bare autoreset builder must REFUSE the fast path without
+    return_info (the guard would otherwise be silently dropped)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.env import autoreset
+    from gym_collision_avoidance_tpu.harness.serving import AutoresetServer
+    from gym_collision_avoidance_tpu.maps import grid as map_grid
+    from gym_collision_avoidance_tpu.policies import registry as P
+    from gym_collision_avoidance_tpu.scenarios import random_cases
+
+    cfg = EnvConfig(
+        dtype="float32", done_mode="evaluate", use_static_map=True,
+        map_x_width=20.0, map_y_width=20.0,
+        laserscan_num_candidate_discs=3,
+        # W=18: this pool draws radii up to 0.79 m, whose closed-form
+        # span bound is 17 (the guard correctly TRIPPED at the bench's
+        # W=12 in this test's first version — that path works too)
+        laserscan_entry_window=18,
+    )
+    pool = random_cases.scenario_pool(4, 4, seed=1, side_length=4.0)
+    policy_id = np.full(4, P.NONCOOP, np.int32)
+    cells = jnp.asarray(
+        map_grid.occupied_cell_list(map_grid.load_static_map(cfg, None))
+    )
+
+    # build-time refusal: fast-path knobs + laserscan + no return_info
+    with pytest.raises(ValueError, match="laserscan_exactness_overflow"):
+        autoreset.make_autoreset_step(
+            cfg, pool, policy_id,
+            sensors=("other_agents_states", "laserscan"),
+            static_cells=cells,
+        )
+
+    server = AutoresetServer(
+        cfg, pool, policy_id, num_envs=4, steps_per_dispatch=8,
+        sensors=("other_agents_states", "laserscan"), static_cells=cells,
+    )
+    out = server.dispatch()
+    assert out["exactness_overflow"].shape == (8,)  # per-step flag [S]
+    assert not bool(out["exactness_overflow"].any())
+    assert server.exactness_overflow() is False
+    assert server.episodes_completed() >= 0
