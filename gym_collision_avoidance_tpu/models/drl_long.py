@@ -81,6 +81,67 @@ def convert_torch_state_dict(state_dict) -> dict:
     return out
 
 
+def init_actor_critic_params(laserscan_length: int = 512, seed: int = 0,
+                             dtype=jnp.float32):
+    """Trainable DRL-Long-architecture actor-critic (round 5).
+
+    The reference ships this policy BROKEN (empty submodule, no
+    checkpoint, "not fully working" — DRLLongPolicy.py:26); here the same
+    CNN trunk gets a critic head + Gaussian log-std so
+    ``train/ppo.py --arch drl_long`` can train a working laserscan policy
+    from scratch on-device.  Actor heads and trunk are exactly
+    :func:`init_params`' shapes, so a user-supplied torch checkpoint
+    (convert_torch_state_dict) can warm-start the actor.
+    """
+    rng = np.random.RandomState(seed + 1)
+    p = dict(init_params(laserscan_length, seed, dtype))
+    # small-scale policy/value heads, as in the MLP family
+    # (train/ppo.init_actor_critic): the initial policy sits near the
+    # sigmoid/tanh midpoints with near-constant value, keeping early PPO
+    # ratios tame — measured necessary for this trunk (He-scale heads
+    # plateaued for 30+ iterations)
+    p["actor1_w"] = p["actor1_w"] * 1e-2
+    p["actor2_w"] = p["actor2_w"] * 1e-2
+    p["critic_w"] = jnp.asarray(
+        rng.randn(128, 1).astype(np.float32) * np.sqrt(2.0 / 128) * 1e-1,
+        dtype,
+    )
+    p["critic_b"] = jnp.zeros((1,), dtype)
+    # match the MLP family's init (train/ppo.init_actor_critic)
+    p["log_std"] = jnp.full((2,), -1.2, dtype)
+    return p
+
+
+def forward_actor_critic(params, scan_stack, goal, speed):
+    """(mean [B, 2] in [0, 1]^2, log_std [B, 2], value [B]) for training.
+
+    The trunk and actor heads are the reference architecture
+    (:func:`forward`); the omega head's tanh output is remapped
+    (w+1)/2 so the mean lives in the LearningPolicy action box
+    ([0, 1]^2: speed fraction, heading fraction —
+    envs/policies/LearningPolicy.py:13) and the whole PPO Gaussian
+    machinery is shared with the MLP family.
+    """
+    dtype = params["conv1_w"].dtype
+    scan_stack = scan_stack.astype(dtype)
+    goal = goal.astype(dtype)
+    speed = speed.astype(dtype)
+    h = jax.nn.relu(_conv1d(scan_stack, params["conv1_w"], params["conv1_b"], 2, 1))
+    h = jax.nn.relu(_conv1d(h, params["conv2_w"], params["conv2_b"], 2, 1))
+    h = h.reshape(h.shape[0], -1)
+    h = jax.nn.relu(h @ params["fc1_w"] + params["fc1_b"])
+    z = jnp.concatenate([h, goal, speed], axis=-1)
+    z = jax.nn.relu(z @ params["fc2_w"] + params["fc2_b"])
+    v = jax.nn.sigmoid(z @ params["actor1_w"] + params["actor1_b"])
+    w = jnp.tanh(z @ params["actor2_w"] + params["actor2_b"])
+    mean = jnp.concatenate([v, (w + 1.0) * 0.5], axis=-1)
+    value = (z @ params["critic_w"] + params["critic_b"])[:, 0]
+    # same clip discipline as the MLP family (train/ppo.actor_critic)
+    log_std = jnp.clip(params["log_std"], -4.0, 0.0)
+    log_std = jnp.broadcast_to(log_std, mean.shape)
+    return mean, log_std, value
+
+
 def _conv1d(x, w, b, stride, padding):
     # x [B, C, L]; w [O, C, K]
     y = jax.lax.conv_general_dilated(

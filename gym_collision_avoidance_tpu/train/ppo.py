@@ -85,6 +85,12 @@ class PPOConfig:
     #   the LearningPolicyGA3C table) trained from scratch — the
     #   reference trained this net externally with GA3C
     #   (ga3c/GA3C/NetworkVP_rnn.py); here it trains on-device.
+    # "drl_long": the DRL-Long laserscan CNN architecture
+    #   (DRLLongPolicy.py / models/drl_long.py) with a critic head,
+    #   trained from scratch through the continuous Gaussian family —
+    #   the reference ships this policy BROKEN (empty submodule, no
+    #   checkpoint); here a working one trains on-device on the 3-deep
+    #   scan stack.
     policy_arch: str = "mlp"
     # False: agent 0 learns against scripted traffic_policy agents.
     # True: EVERY agent runs (and trains) the same shared net — the
@@ -185,6 +191,7 @@ def make_ppo(
     axis_name: Optional[str] = None,
     sensors: Tuple[str, ...] = ("other_agents_states",),
     states_in_obs: Tuple[str, ...] = obs_spec.DEFAULT_STATES_IN_OBS,
+    static_cells=None,
 ):
     """Build the jitted PPO iteration.
 
@@ -209,8 +216,18 @@ def make_ppo(
 
     E, T, A = ppo.num_envs, ppo.horizon, ppo.num_agents
     cfg = cfg or EnvConfig(
-        dtype="float32", done_mode="learning", reward_time_step=-0.01
+        dtype="float32", done_mode="learning", reward_time_step=-0.01,
+        # drl_long: use_static_map allocates the scan-history ring in
+        # EnvState (core/state.py:195); the world stays agents-only
+        # unless static_cells is passed
+        use_static_map=ppo.policy_arch == "drl_long",
     )
+    if ppo.policy_arch == "drl_long" and not cfg.use_static_map:
+        raise ValueError(
+            "drl_long arch needs cfg.use_static_map=True (allocates the "
+            "laserscan history ring; pass static_cells=[] for an "
+            "agents-only world)"
+        )
     dtype = jnp.dtype(cfg.dtype)
 
     if pool is None:
@@ -227,6 +244,16 @@ def make_ppo(
         policies.LEARNING_GA3C if ppo.policy_arch == "ga3c"
         else policies.LEARNING
     )
+    if ppo.policy_arch == "drl_long" and "laserscan" not in sensors:
+        # the DRL-Long CNN consumes the 3-deep scan stack; agents-only
+        # world by default (empty static-cell list -> the gather-free
+        # sparse laserscan needs no map)
+        sensors = tuple(sensors) + ("laserscan",)
+        states_in_obs = tuple(
+            k for k in states_in_obs if k != "laserscan"
+        ) + ("laserscan",)
+    if static_cells is None and "laserscan" in sensors:
+        static_cells = jnp.zeros((0, 2), jnp.int32)
     # L learner agents per env; B learner sample streams per step
     L = A if ppo.self_play else 1
     B = E * L
@@ -240,12 +267,13 @@ def make_ppo(
         active = tuple(sorted({int(learner_pid), int(ppo.traffic_policy)}))
     astep = autoreset.make_autoreset_step(
         cfg, pool, policy_id, active_policies=active, sensors=sensors,
-        states_in_obs=states_in_obs,
+        states_in_obs=states_in_obs, static_cells=static_cells,
     )
 
     # flattened ego obs width, from one probe reset (host-side, build time)
     probe = autoreset.state_from_case(cfg, pool[0], policy_id)
-    _, probe_obs = env_reset(probe, cfg, sensors, states_in_obs)
+    _, probe_obs = env_reset(probe, cfg, sensors, states_in_obs, None,
+                             static_cells)
 
     if ppo.policy_arch == "ga3c":
         # the GA3C net consumes the policy-obs layout: every obs key
@@ -256,6 +284,14 @@ def make_ppo(
             k for k in states_in_obs
             if k not in obs_spec.DEFAULT_STATES_NOT_USED_IN_POLICY
         )
+    elif ppo.policy_arch == "drl_long":
+        # the DRL-Long CNN consumes [polar local goal, kinematic scalars,
+        # 3-deep scan stack] — fixed layout, scan LAST (net_apply splits
+        # on it)
+        ego_keys = ("dist_to_goal", "heading_ego_frame", "pref_speed",
+                    "radius", "laserscan")
+        missing = [k for k in ego_keys if k not in tuple(states_in_obs)]
+        assert not missing, f"drl_long arch needs obs keys {missing}"
     else:
         ego_keys = tuple(states_in_obs)
     obs_dim = int(
@@ -318,13 +354,35 @@ def make_ppo(
             return jnp.concatenate([act, jnp.zeros_like(act)], axis=-1)
 
     else:
+        if ppo.policy_arch == "drl_long":
+            from gym_collision_avoidance_tpu.models import drl_long
 
-        def net_init(rng):
-            return init_actor_critic(rng, obs_dim, ppo.hidden)
+            L_scan = cfg.laserscan_length
+            assert obs_dim == 4 + 3 * L_scan, (obs_dim, L_scan)
 
-        def net_apply(params, x):
-            mean, log_std, value = actor_critic(params, x)
-            return (mean, log_std), value
+            def net_init(rng):
+                return drl_long.init_actor_critic_params(
+                    L_scan, seed=int(jax.random.randint(rng, (), 0, 2**31 - 1))
+                )
+
+            def net_apply(params, x):
+                # layout per ego_keys: [d_goal, heading_ego, pref, r, scans]
+                scan = x[:, 4:].reshape(x.shape[0], drl_long.FRAMES, L_scan)
+                # the reference's scan normalization (DRLLongPolicy.py:81)
+                scan = scan / 6.0 - 0.5
+                mean, log_std, value = drl_long.forward_actor_critic(
+                    params, scan, x[:, 0:2], x[:, 2:4]
+                )
+                return (mean, log_std), value
+
+        else:
+
+            def net_init(rng):
+                return init_actor_critic(rng, obs_dim, ppo.hidden)
+
+            def net_apply(params, x):
+                mean, log_std, value = actor_critic(params, x)
+                return (mean, log_std), value
 
         def dist_sample(out, key, ids):
             mean, log_std = out
@@ -358,7 +416,8 @@ def make_ppo(
                 cfg, pool[i % pool.shape[0]], policy_id,
                 rng=jax.random.PRNGKey(ppo.seed + 1),
             )
-            return env_reset(st, cfg, sensors, states_in_obs)
+            return env_reset(st, cfg, sensors, states_in_obs, None,
+                             static_cells)
 
         # jit: eager vmapped resets dispatch op-by-op (through the axon
         # tunnel that cost ~30 s of trainer startup, round 4)

@@ -28,10 +28,14 @@ def main():
     ap.add_argument("--horizon", type=int, default=64)
     ap.add_argument("--agents", type=int, default=2)
     ap.add_argument("--traffic", default="noncoop", choices=["noncoop", "rvo"])
-    ap.add_argument("--arch", default="mlp", choices=["mlp", "ga3c"],
+    ap.add_argument("--arch", default="mlp",
+                    choices=["mlp", "ga3c", "drl_long"],
                     help="mlp: Gaussian MLP on the [0,1]^2 action box; "
                          "ga3c: the reference's GA3C-CADRL LSTM net with "
-                         "its 11 discrete actions, trained from scratch")
+                         "its 11 discrete actions, trained from scratch; "
+                         "drl_long: the DRL-Long laserscan CNN (broken/"
+                         "checkpointless in the reference) trained from "
+                         "scratch on the 3-deep scan stack")
     ap.add_argument("--self-play", action="store_true",
                     help="every agent runs (and trains) the shared net — "
                          "the parameter-shared self-play regime of the "
@@ -44,6 +48,13 @@ def main():
                          "scenario pool keeps its own fixed seed so "
                          "replicates train on the identical task "
                          "distribution)")
+    ap.add_argument("--entropy", type=float, default=None,
+                    help="entropy bonus coefficient (default: the "
+                         "PPOConfig default 1e-3; use 0 for --arch "
+                         "drl_long — with that trunk's weak early mean "
+                         "gradient the bonus drives log_std up at the "
+                         "full adam rate and the policy drowns in its "
+                         "own exploration noise, round-5 diagnosis)")
     ap.add_argument("--shaping", type=float, default=0.3,
                     help="training-side progress-shaping coefficient; "
                          "high values out-reward the env's -0.25 collision "
@@ -106,6 +117,7 @@ def main():
         num_agents=args.agents, lr=args.lr, traffic_policy=traffic,
         policy_arch=args.arch, self_play=args.self_play,
         shaping_coef=args.shaping, seed=args.seed,
+        **({} if args.entropy is None else {"entropy_coef": args.entropy}),
     )
 
     if D > 1:
@@ -177,8 +189,8 @@ def main():
     if args.save:
         print(f"saved {ckpt.save_state(args.save, tuple(carry))}")
     if args.export_params:
-        if args.arch != "ga3c":
-            sys.exit("--export-params requires --arch ga3c")
+        if args.arch not in ("ga3c", "drl_long"):
+            sys.exit("--export-params requires --arch ga3c or drl_long")
         np.savez(args.export_params,
                  **{k: np.asarray(v) for k, v in carry[0].items()})
         print(f"exported {args.export_params}")
