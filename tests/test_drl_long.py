@@ -86,3 +86,35 @@ def test_env_step_with_drl_long():
         )
     assert np.isfinite(np.asarray(state.pos)).all()
     assert not np.allclose(np.asarray(state.pos), [[-3, 0], [3, 0]])
+
+
+def test_shipped_trained_drl_long_checkpoint_loads_and_runs():
+    """The round-5 TPU-trained DRL-Long net (the policy the reference
+    ships broken): the vendored checkpoint must load and produce finite
+    in-range actions (its suite quality — 92.6% success learner-vs-RVO
+    on the frozen 2-agent 500 cases — is recorded in RESULTS.md and
+    reproduced by scripts/eval_drl_long.py)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gym_collision_avoidance_tpu.models import drl_long
+
+    path = os.path.join(
+        os.path.dirname(drl_long.__file__), "weights",
+        "drl_long_2agent_rvo_tpu.npz",
+    )
+    with np.load(path) as z:
+        params = {k: jnp.asarray(z[k]) for k in z.files}
+    B, L = 3, 512
+    rng = np.random.RandomState(0)
+    mean, log_std, value = drl_long.forward_actor_critic(
+        params,
+        jnp.asarray(rng.rand(B, 3, L) - 0.5, jnp.float32),
+        jnp.asarray(rng.rand(B, 2) * 4, jnp.float32),
+        jnp.asarray(rng.rand(B, 2), jnp.float32),
+    )
+    assert mean.shape == (B, 2) and value.shape == (B,)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(mean) >= 0).all() and (np.asarray(mean) <= 1).all()
+    assert np.isfinite(np.asarray(value)).all()
