@@ -74,7 +74,7 @@ def main():
                     help="resume from a carry saved by --save (bitwise "
                          "continuation of the interrupted run)")
     ap.add_argument("--init-params", default=None, metavar="PATH",
-                    help="(--arch ga3c) warm-start the net from an .npz "
+                    help="(--arch ga3c/drl_long) warm-start the net from an .npz "
                          "exported by --export-params — the curriculum "
                          "mechanism: a fresh optimizer + fresh envs (any "
                          "agent count) around a previously trained net")
@@ -148,8 +148,8 @@ def main():
         carry = ckpt.load_state(args.resume, tuple(carry))
         print(f"resumed from {args.resume}")
     elif args.init_params:
-        if args.arch != "ga3c":
-            sys.exit("--init-params requires --arch ga3c")
+        if args.arch not in ("ga3c", "drl_long"):
+            sys.exit("--init-params requires --arch ga3c or drl_long")
         import jax.numpy as jnp
 
         with np.load(args.init_params) as z:
