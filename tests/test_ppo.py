@@ -340,3 +340,44 @@ def test_ppo_drl_long_arch_learns():
     rets = np.asarray(rets)
     assert np.isfinite(rets).all()
     assert rets[-5:].mean() > rets[:5].mean() + 0.08, rets
+
+
+def test_ppo_drl_long_sharded_matches_single_device():
+    """The drl_long (laserscan CNN) training step under shard_map on the
+    8-virtual-device mesh must match the single-device update — the scan
+    sensing + conv net path through the sharded rollout, same contract
+    the ga3c arch has."""
+    from jax.sharding import Mesh
+
+    from gym_collision_avoidance_tpu import EnvConfig
+    from gym_collision_avoidance_tpu.train import (
+        PPOConfig, make_ppo, make_sharded_ppo,
+    )
+
+    cfg = EnvConfig(dtype="float32", done_mode="learning",
+                    reward_time_step=-0.01, laserscan_length=128,
+                    use_static_map=True)
+    ppo = PPOConfig(num_envs=16, horizon=8, num_agents=2, epochs=1,
+                    num_minibatches=1, policy_arch="drl_long", seed=3)
+    tstep, init_fn, _ = make_ppo(ppo, cfg=cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    sstep, sinit, _ = make_sharded_ppo(ppo, mesh, cfg=cfg)
+
+    rng = jax.random.PRNGKey(3)
+    carry0 = init_fn(rng)
+    out_single = jax.jit(tstep)(*carry0, jax.random.PRNGKey(4))
+    out_sharded = sstep(*sinit(rng), jax.random.PRNGKey(4))
+
+    # params after one update: identical math modulo pmean summation
+    # order on the gradients — tight tolerance, not bitwise.  Exception:
+    # a near-zero gradient (log_std on the first update) makes adam's
+    # first step +-lr with the SIGN set by float summation order, so
+    # those elements can differ by up to 2*lr=6e-4 legitimately.
+    for (ka, a), (_, b) in zip(
+        sorted(out_single[0].items()), sorted(out_sharded[0].items())
+    ):
+        tol = dict(atol=7e-4) if ka == "log_std" else dict(rtol=2e-4,
+                                                           atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), err_msg=ka, **tol
+        )
