@@ -28,8 +28,6 @@ Selected via ``obs.sensors._WBC_PALLAS`` (A/B: scripts/ab_laser_r5.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
