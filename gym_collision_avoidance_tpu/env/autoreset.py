@@ -39,7 +39,13 @@ _PICK_PRECISION = jax.lax.Precision.HIGHEST
 def state_from_case(cfg: EnvConfig, case, policy_id, dynamics_id=None, rng=None):
     """Jit-compatible state construction from a [A, 6] case row
     ([px, py, gx, gy, pref_speed, radius]); heading points at the goal
-    (evaluate-mode semantics, envs/test_cases.py:556-562)."""
+    (evaluate-mode semantics, envs/test_cases.py:556-562).
+
+    A [A, 7] row additionally carries a valid flag in column 6
+    (``scenarios.random_cases.scenario_pool_mixed``): invalid agents are
+    parked padding whose ``is_done=~valid`` keeps them inert, letting one
+    static-shape pool mix agent densities."""
+    valid = case[:, 6] > 0.5 if case.shape[-1] >= 7 else None
     return init_state(
         cfg,
         pos=case[:, 0:2],
@@ -48,6 +54,7 @@ def state_from_case(cfg: EnvConfig, case, policy_id, dynamics_id=None, rng=None)
         pref_speed=case[:, 4],
         policy_id=policy_id,
         dynamics_id=dynamics_id,
+        valid=valid,
         rng=rng,
     )
 

@@ -279,3 +279,40 @@ def scenario_pool(n_cases: int, num_agents: int, seed: int = 0, **kwargs) -> np.
             for _ in range(n_cases)
         ]
     )
+
+
+def scenario_pool_mixed(
+    n_cases: int, agent_counts, seed: int = 0, **kwargs
+) -> np.ndarray:
+    """Pre-generate a [n_cases, max(agent_counts), 7] mixed-density pool.
+
+    Cases cycle round-robin through ``agent_counts``; smaller cases are
+    padded to the max count with INVALID parked agents (column 6 is the
+    valid flag — ``autoreset.state_from_case`` maps it to
+    ``init_state(valid=...)``, whose ``is_done=~valid`` makes padding
+    agents inert to sensing, collision, and the PPO alive mask).  This is
+    the multi-density training regime of the GA3C-CADRL papers (stages
+    mixing 2-4 agents) expressed as one static-shape pool: XLA compiles a
+    single step for the max count and the mask does the rest, where the
+    reference re-instantiates its env per agent count.
+    """
+    counts = [int(a) for a in agent_counts]
+    a_max = max(counts)
+    rng = np.random.RandomState(seed)
+    far = 1e4  # same parking convention as Scenario.pad_to (presets.py:69)
+    pool = np.zeros((n_cases, a_max, 7))
+    for i in range(n_cases):
+        a = counts[i % len(counts)]
+        case = generate_rand_test_case_multi(
+            a, kwargs.get("side_length", 4.0),
+            list(kwargs.get("speed_bnds", (0.5, 2.0))),
+            list(kwargs.get("radius_bnds", (0.2, 0.8))), rng,
+        )
+        pool[i, :a, :6] = case
+        pool[i, :a, 6] = 1.0
+        for k in range(a, a_max):
+            # Parked: pos far out (spaced so they never overlap each
+            # other), goal distinct so dist-to-goal stays finite.
+            pool[i, k] = (far + 4.0 * k, far, far + 4.0 * k + 1.0, far + 1.0,
+                          1.0, 0.1, 0.0)
+    return pool

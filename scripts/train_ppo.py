@@ -63,6 +63,11 @@ def main():
                          "when collision rate matters")
     ap.add_argument("--pool-cases", type=int, default=256,
                     help="scenario pool size for in-graph autoreset")
+    ap.add_argument("--agents-mix", default=None, metavar="N,N,...",
+                    help="comma-separated agent counts for a mixed-density "
+                         "pool (e.g. '3,4,10'): cases cycle through the "
+                         "counts, padded to the max with inert invalid "
+                         "agents; overrides --agents (set to the max)")
     ap.add_argument("--pool-side", type=float, default=4.0,
                     help="scenario side length (4.0 matches the frozen "
                          "500-case evaluation suites' distribution)")
@@ -108,9 +113,16 @@ def main():
 
     from gym_collision_avoidance_tpu.scenarios import random_cases
 
-    pool = random_cases.scenario_pool(
-        args.pool_cases, args.agents, seed=0, side_length=args.pool_side
-    )
+    if args.agents_mix:
+        counts = [int(a) for a in args.agents_mix.split(",")]
+        args.agents = max(counts)
+        pool = random_cases.scenario_pool_mixed(
+            args.pool_cases, counts, seed=0, side_length=args.pool_side
+        )
+    else:
+        pool = random_cases.scenario_pool(
+            args.pool_cases, args.agents, seed=0, side_length=args.pool_side
+        )
 
     ppo = PPOConfig(
         num_envs=args.envs, horizon=args.horizon,

@@ -248,3 +248,58 @@ def test_batched_env_step_matches_vmapped_env_step():
         np.testing.assert_array_equal(np.asarray(go_b), np.asarray(go_v))
         for k in obs_b:
             np.testing.assert_array_equal(np.asarray(obs_b[k]), np.asarray(obs_v[k]))
+
+
+def test_mixed_density_pool_padding_inert():
+    """scenario_pool_mixed: [A,7] rows whose invalid parked agents are
+    bitwise inert — the 2-agent case stepped at its native size and inside
+    a padded-to-4 mixed row produces identical real-agent trajectories."""
+    cfg = EnvConfig(dtype="float32", done_mode="evaluate", max_time_ratio=1.2)
+    mixed = random_cases.scenario_pool_mixed(4, [2, 4], seed=7, side_length=3.0)
+    assert mixed.shape == (4, 4, 7)
+    assert mixed[0, :, 6].tolist() == [1.0, 1.0, 0.0, 0.0]  # 2-agent row
+    assert mixed[1, :, 6].tolist() == [1.0, 1.0, 1.0, 1.0]  # 4-agent row
+
+    pid2 = np.full(2, P.NONCOOP, np.int32)
+    pid4 = np.full(4, P.NONCOOP, np.int32)
+    s4 = autoreset.state_from_case(cfg, jnp.asarray(mixed[0], jnp.float32), pid4)
+    assert not bool(jnp.any(s4.valid[2:]))
+    assert bool(jnp.all(s4.is_done[2:]))  # inert from t=0 (alive-mask zero)
+
+    from gym_collision_avoidance_tpu.env.step import env_reset
+
+    step2 = jax.jit(autoreset.make_autoreset_step(
+        cfg, jnp.asarray(mixed[:, :2, :6], jnp.float32), pid2))
+    step4 = jax.jit(autoreset.make_autoreset_step(
+        cfg, jnp.asarray(mixed, jnp.float32), pid4))
+    s2, _ = env_reset(autoreset.state_from_case(
+        cfg, jnp.asarray(mixed[0, :2, :6], jnp.float32), pid2), cfg)
+    s4, _ = env_reset(s4, cfg)
+    c2 = c4 = jnp.asarray(0, jnp.int32)
+    for _ in range(40):
+        s2, c2, _, r2, over2 = step2(s2, c2)
+        s4, c4, _, r4, over4 = step4(s4, c4)
+        np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(s4.pos[:2]))
+        np.testing.assert_array_equal(np.asarray(s2.vel), np.asarray(s4.vel[:2]))
+        np.testing.assert_array_equal(np.asarray(r2), np.asarray(r4[:2]))
+        assert bool(over2) == bool(over4)
+        # Parked padding never moves and never collides.
+        assert bool(jnp.all(s4.pos[2:, 0] > 1e3))
+        assert not bool(jnp.any(s4.in_collision[2:]))
+        if bool(over2):
+            break  # pools diverge after the first in-graph reset
+
+
+def test_ppo_trains_on_mixed_density_pool():
+    """A PPO self-play train step over a mixed 2/4-density pool runs and
+    yields finite losses (the --agents-mix path of scripts/train_ppo.py)."""
+    from gym_collision_avoidance_tpu.train import PPOConfig, make_ppo
+
+    pool = random_cases.scenario_pool_mixed(8, [2, 4], seed=1, side_length=3.0)
+    ppo = PPOConfig(num_envs=8, horizon=8, num_agents=4, self_play=True,
+                    policy_arch="ga3c", epochs=1, num_minibatches=1)
+    train_step, init_fn, _ = make_ppo(ppo, pool=jnp.asarray(pool, jnp.float32))
+    carry = init_fn(jax.random.PRNGKey(0))
+    *carry, metrics = jax.jit(train_step)(*carry, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(v, jnp.float32)))), k
